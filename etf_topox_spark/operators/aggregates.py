@@ -1,0 +1,197 @@
+"""Aggregation operators (SURVEY.md §2.B A1-A8).
+
+A1/A2/A5/A6/A7 carry exact DuckDB oracles; A3 (HLL sketch) and A4-approx are
+approximate by design so they register rows-only, with an exact-percentile
+twin that IS oracled. A8 (custom per-group UDAF) lives with the topology
+kernels (operators.topology) — grouped-map applyInPandas is Python's UDAF
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etf_topox_spark.operators.relational import _dsum_sql, dsum
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.tables import load_table as T
+
+
+# --- A1: hash aggregate with the full stat family ------------------------
+
+@query(
+    "agg_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_quantity) AS max_qty,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+    # avg as exact-sum / count: identical double division on both sides
+    return out.withColumn("avg_qty", F.col("sum_qty") / F.col("n_rows")).orderBy("l_returnflag")
+
+
+# --- A2: distinct + count-distinct ----------------------------------------
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "distinct_rows",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# --- A3: approximate count-distinct (HLL) — rows-only: sketch estimates
+# are engine-specific by construction (SURVEY.md §2.B A3) -----------------
+
+@query("agg_approx_distinct")
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --- A4: percentiles — Spark exact `percentile` == DuckDB quantile_cont
+# (both linearly interpolate); rounded to 9 dp to absorb any 1-ulp
+# interpolation-order difference ------------------------------------------
+
+@query(
+    "agg_percentiles",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.25), 9) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.50), 9) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 9) AS p75
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", 0.25), 9).alias("p25"),
+            F.round(F.percentile("o_totalprice", 0.50), 9).alias("p50"),
+            F.round(F.percentile("o_totalprice", 0.75), 9).alias("p75"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --- A5: rollup / grouping sets -------------------------------------------
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT n_regionkey, n_nationkey, COUNT(*) AS n
+    FROM nation GROUP BY ROLLUP (n_regionkey, n_nationkey)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = T(spark, sf_dir, "nation")
+    return n.rollup("n_regionkey", "n_nationkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count(F.lit(1)).alias("n"))
+
+
+# --- A6: pivot -------------------------------------------------------------
+
+@query(
+    "agg_pivot",
+    oracle=f"""
+    SELECT l_returnflag,
+           {_dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+           {_dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.col("F").alias("qty_F"),
+        F.col("O").alias("qty_O"),
+    ).orderBy("l_returnflag")
+
+
+# --- A7: order-sensitive collect (the reference's ring/edge assembly is
+# exactly this shape: gather a feature's parts in sequence order) ----------
+
+@query(
+    "agg_collect_sorted",
+    oracle="""
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_linenumber)), ',') AS line_seq
+    FROM lineitem WHERE l_orderkey < 100
+    GROUP BY l_orderkey ORDER BY l_orderkey
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_linenumber")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("line_seq")
+        )
+        .orderBy("l_orderkey")
+    )

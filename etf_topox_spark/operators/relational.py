@@ -1,0 +1,472 @@
+"""Relational operator sweep (SURVEY.md §2.B: P1-P3, J1-J9, J14, A1-A7,
+W1-W3, O1-O3, U1-U2, F1-F7, T2-T3 batch analogs).
+
+Every query here is pure DataFrame code — no Python UDFs — so Catalyst gets
+the whole plan: predicate pushdown, column pruning, broadcast selection,
+partial aggregation and AQE all apply (SURVEY.md §4.2). Each query carries
+its DuckDB oracle inline.
+
+Float determinism contract (registry docstring): aggregates over doubles are
+computed as exact DECIMAL(30,6) sums cast back to double on BOTH sides, so
+the driver's value-hash matches bit-for-bit. Per-row double arithmetic uses
+identical expression trees on both sides (IEEE ops are deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+from pyspark.sql.window import Window as W
+
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.tables import load_table as T
+
+
+def dsum(c: Column) -> Column:
+    """Exact sum of a double expression: cast each term to DECIMAL(30,6)
+    (deterministic round of an IEEE double), sum exactly, return double."""
+    return F.sum(c.cast(DecimalType(30, 6))).cast("double")
+
+
+def _dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+# --------------------------------------------------------------------------
+# Flagship: TPC-H-Q1-style pricing summary (A1 + P2 + O1)
+# --------------------------------------------------------------------------
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')} AS sum_qty,
+           {_dsum_sql('l_extendedprice')} AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc * (F.lit(1) + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# P1/P2: projection + predicate filter (pushdown-verified in tests)
+# --------------------------------------------------------------------------
+
+@query(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 + l_tax) AS gross_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 5 AND 15
+      AND l_returnflag IN ('A', 'N')
+      AND l_discount < 0.05
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(5, 15)
+        & F.col("l_returnflag").isin("A", "N")
+        & (F.col("l_discount") < 0.05)
+        & F.col("l_shipdate").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_extendedprice") * (F.lit(1) + F.col("l_tax"))).alias("gross_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# P3: conditional expressions (CASE / coalesce / nullif / greatest)
+# --------------------------------------------------------------------------
+
+@query(
+    "conditional_expr",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 150000 THEN 'high'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_norm,
+           GREATEST(o_totalprice, 100000.0) AS floor_price
+    FROM orders
+    """,
+)
+def conditional_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 150000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_norm"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floor_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1: broadcast hash join over the dim chain (customer→nation→region)
+# --------------------------------------------------------------------------
+
+@query(
+    "join_broadcast_dims",
+    oracle=f"""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           COUNT(*) AS n_customers, {_dsum_sql('c.c_acctbal')} AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    # dims are tiny at every sf: broadcast both so the fact side never shuffles
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("sum_acctbal"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# J2: shuffle (sort-merge) fact-fact equi join
+# --------------------------------------------------------------------------
+
+@query(
+    "join_fact_fact",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# J3: outer join (customers with zero orders kept)
+# --------------------------------------------------------------------------
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J4: left semi / left anti — the anti-join is the checkpoint-resume
+# primitive (BASELINE.json:14 "resumable"; see plans.lineage)
+# --------------------------------------------------------------------------
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand
+    FROM part p WHERE EXISTS (
+        SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    li = T(spark, sf_dir, "lineitem")
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi").select("p_partkey", "p_brand")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c WHERE NOT EXISTS (
+        SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_mktsegment")
+
+
+# --------------------------------------------------------------------------
+# J5: theta join — equi prefilter on the coarse key + residual predicate
+# --------------------------------------------------------------------------
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT s.s_suppkey, c.c_custkey
+    FROM supplier s JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND s.s_acctbal > c.c_acctbal
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = T(spark, sf_dir, "supplier")
+    c = T(spark, sf_dir, "customer")
+    # equi component drives the hash join; residual evaluated post-match —
+    # never a cross join (SURVEY.md §2.B J5)
+    return s.join(
+        c, (s.s_nationkey == c.c_nationkey) & (s.s_acctbal > c.c_acctbal)
+    ).select("s_suppkey", "c_custkey")
+
+
+# --------------------------------------------------------------------------
+# J6: cross join (tiny legs only)
+# --------------------------------------------------------------------------
+
+@query(
+    "join_cross_tiny",
+    oracle="""
+    SELECT a.r_name AS region_a, b.r_name AS region_b
+    FROM region a CROSS JOIN region b WHERE a.r_regionkey < b.r_regionkey
+    """,
+)
+def join_cross_tiny(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = T(spark, sf_dir, "region")
+    a = r.alias("a")
+    b = r.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a.r_regionkey") < F.col("b.r_regionkey"))
+        .select(F.col("a.r_name").alias("region_a"), F.col("b.r_name").alias("region_b"))
+    )
+
+
+# --------------------------------------------------------------------------
+# J7: range join — bucket both sides, equi-join on bucket, residual filter.
+# The naive form is a theta join (the oracle); the engine form stays
+# O(rows × buckets-overlapped) and shuffles on the bucket key only.
+# --------------------------------------------------------------------------
+
+_RANGE_BUCKETS_SQL = """
+    SELECT r AS bucket_id, r * 20.0 AS lo, r * 20.0 + 40.0 AS hi
+    FROM range(0, 10) t(r)
+"""
+
+
+@query(
+    "join_range",
+    oracle=f"""
+    SELECT e.event_id, b.bucket_id
+    FROM events e JOIN ({_RANGE_BUCKETS_SQL}) b
+      ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    buckets = spark.range(0, 10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 40.0).alias("hi"),
+    )
+    width = 20.0  # bucket stride; each interval spans ceil(40/20)=2 strides
+    # explode each interval over the strides it covers, equi-join on stride
+    bux = buckets.select(
+        "bucket_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / width).cast("long"),
+                F.floor((F.col("hi") - 1e-9) / width).cast("long"),
+            )
+        ).alias("stride"),
+    )
+    ex = e.select("event_id", "value", F.floor(F.col("value") / width).cast("long").alias("stride"))
+    return (
+        ex.join(F.broadcast(bux), "stride")
+        .filter((F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .select("event_id", "bucket_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# J8: interval-overlap join (same bucketing scheme, symmetric residual)
+# --------------------------------------------------------------------------
+
+_SPAN_SQL = """
+    SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+    FROM events GROUP BY event_type
+"""
+
+
+@query(
+    "join_interval_overlap",
+    oracle=f"""
+    SELECT s.event_type, b.bucket_id
+    FROM ({_SPAN_SQL}) s JOIN ({_RANGE_BUCKETS_SQL}) b
+      ON s.lo <= b.hi AND b.lo <= s.hi
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    spans = e.groupBy("event_type").agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    buckets = spark.range(0, 10).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 20.0).alias("lo"),
+        (F.col("id") * 20.0 + 40.0).alias("hi"),
+    )
+    width = 50.0
+    def strides(df: DataFrame, keep: list) -> DataFrame:
+        return df.select(
+            *keep,
+            F.col("lo").alias("_lo"),
+            F.col("hi").alias("_hi"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("lo") / width).cast("long"),
+                    F.floor(F.col("hi") / width).cast("long"),
+                )
+            ).alias("stride"),
+        )
+
+    sx = strides(spans, ["event_type"])
+    bx = strides(buckets, ["bucket_id"]).withColumnsRenamed({"_lo": "b_lo", "_hi": "b_hi"})
+    return (
+        sx.join(F.broadcast(bx), "stride")
+        .filter((F.col("_lo") <= F.col("b_hi")) & (F.col("b_lo") <= F.col("_hi")))
+        .select("event_type", "bucket_id")
+        .distinct()  # an overlapping pair can meet in several strides
+    )
+
+
+# --------------------------------------------------------------------------
+# J9: as-of join — latest signup at-or-before each click, per user.
+# Engine form: union-tag both sides + one window pass (a single shuffle on
+# user_id; never a per-probe subquery). Oracle: DuckDB native ASOF JOIN.
+# --------------------------------------------------------------------------
+
+@query(
+    "join_asof",
+    oracle="""
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           s.ts AS signup_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      ON c.user_id = s.user_id AND c.ts >= s.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    tagged = clicks.withColumn("signup_ts", F.lit(None).cast("timestamp")).unionByName(
+        signups.withColumn("click_id", F.lit(None).cast("long")).withColumn(
+            "click_ts", F.lit(None).cast("timestamp")
+        )
+    )
+    # order by event time; signup rows sort before a click at the same ts
+    # (is_probe=1 for clicks) to honor ts >= signup_ts inclusivity
+    ts = F.coalesce(F.col("click_ts"), F.col("signup_ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(ts.asc(), F.col("click_id").isNotNull().cast("int").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("signup_ts", F.last("signup_ts", ignorenulls=True).over(w))
+        .filter(F.col("click_id").isNotNull() & F.col("signup_ts").isNotNull())
+        .select("click_id", "user_id", "click_ts", "signup_ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# J14: skew-defused join — explicit salting; result provably salt-invariant
+# (oracle = the unsalted join). At 100 TB the hot key is a city-block cell
+# with 10^6 edges; here the mechanics are identical on (l_suppkey).
+# --------------------------------------------------------------------------
+
+_SALT = 8
+
+
+@query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT s.s_nationkey, {_dsum_sql('l.l_extendedprice')} AS sum_price,
+           COUNT(*) AS n_lines
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey ORDER BY s.s_nationkey
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(_SALT))
+    )
+    s = T(spark, sf_dir, "supplier")
+    # replicate the small side ×SALT so each (key, salt) shuffle partition
+    # joins locally — the hot key's rows spread over SALT reducers
+    s_rep = s.crossJoin(spark.range(_SALT).select(F.col("id").alias("salt")))
+    return (
+        li.join(s_rep, (li.l_suppkey == s_rep.s_suppkey) & (li.salt == s_rep.salt))
+        .groupBy("s_nationkey")
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("s_nationkey")
+    )

@@ -1,0 +1,125 @@
+"""Batch analogs of the streaming window operators (SURVEY.md §2.B T2/T3).
+
+The streaming forms live in etf_topox_spark.streaming; these batch twins are
+what the DuckDB oracle can check — the pytest suite additionally asserts
+stream-vs-batch equivalence on replay (SURVEY.md §5.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from etf_topox_spark.operators.relational import _dsum_sql, dsum
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.tables import load_table as T
+
+
+# --- T2: tumbling windows (15-minute buckets, epoch-aligned) -----------------
+
+@query(
+    "window_tumbling",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# --- T2b: sliding windows (30-minute window sliding by 15) -------------------
+
+@query(
+    "window_sliding",
+    oracle="""
+    WITH slid AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - to_minutes(CAST(s.off AS BIGINT))
+               AS window_start,
+             event_id
+      FROM events, (SELECT unnest([0, 15]) AS off) s
+    )
+    SELECT window_start, COUNT(*) AS n_events
+    FROM slid GROUP BY window_start ORDER BY window_start
+    """,
+)
+def window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "30 minutes", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+# --- T3: session windows (gap > 30 min starts a new session).
+# Batch form = the classic lag/gap/cumsum decomposition, identical SQL on
+# both sides; the streaming form uses F.session_window (streaming module).
+
+_SESSION_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked)
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+"""
+
+
+@query("sessionize", oracle=_SESSION_SQL)
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ: interval arithmetic is timezone-free and exact to
+    # the microsecond, unlike unix_* (needs TIMESTAMP) or second-truncation
+    prev_ts = F.lag("ts").over(w)
+    is_start = (
+        prev_ts.isNull()
+        | (F.col("ts") - prev_ts > F.expr("INTERVAL 30 MINUTES"))
+    ).cast("long")
+    wsum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return (
+        e.select("user_id", "ts", "event_id", is_start.alias("is_start"))
+        .withColumn("session_id", F.sum("is_start").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )

@@ -1,0 +1,203 @@
+"""Window functions, sorts/limits/top-k, and set operations
+(SURVEY.md §2.B W1-W3, O1-O3, U1-U2).
+
+W2 (lag/lead) is the primitive behind the reference's CCW edge chaining
+around nodes (SURVEY.md §2.A R7); O3's window-top-k is the kNN core (J11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+from pyspark.sql.window import Window as W
+
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.tables import load_table as T
+
+
+# --- W1: ranking ------------------------------------------------------------
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT c_custkey, c_nationkey, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn,
+             RANK() OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal DESC, c_custkey) AS rk,
+             DENSE_RANK() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS drk,
+             NTILE(4) OVER (PARTITION BY c_nationkey
+                            ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      FROM customer) t
+    WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    # tie-break on the unique key so ranks are deterministic across engines
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        c.select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- W2: lag/lead ------------------------------------------------------------
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+           LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+           value - COALESCE(LAG(value) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id), 0.0) AS delta
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).alias("delta"),
+    )
+
+
+# --- W3: running frame — decimal-exact running sum so both engines agree ----
+
+@query(
+    "window_running_sum",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast(DecimalType(30, 6)))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# --- O1/O2: global sort + limit ----------------------------------------------
+
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 50
+    """,
+)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = T(spark, sf_dir, "orders")
+    # global orderBy = range-partitioned exchange; limit pushes a partial
+    # TakeOrdered into each partition before the final merge
+    return o.select("o_orderkey", "o_totalprice").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    ).limit(50)
+
+
+# --- O3: per-group top-k — window, never a global sort ------------------------
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part) t
+    WHERE rn <= 2
+    """,
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = T(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("p_brand", "p_partkey", "p_retailprice")
+    )
+
+
+# --- U1: union all / by-name ---------------------------------------------------
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT event_id, 'click' AS kind FROM events WHERE event_type = 'click'
+    UNION ALL
+    SELECT event_id, 'view' AS kind FROM events WHERE event_type = 'view'
+    """,
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = T(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", F.lit("click").alias("kind")
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        F.lit("view").alias("kind"), "event_id"
+    )
+    return clicks.unionByName(views)  # by-name: column order differs on purpose
+
+
+# --- U2: intersect / except -----------------------------------------------------
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    ordered = o.select(F.col("o_custkey").alias("c_custkey"))
+    return building.intersect(ordered)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT c_custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS c_custkey FROM orders
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    return c.select("c_custkey").exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))).distinct()

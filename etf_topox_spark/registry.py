@@ -1,0 +1,55 @@
+"""Query/oracle registry backing the driver contract in __spark_entry__.py.
+
+Each operator module registers ``(spark, sf_dir) -> DataFrame`` callables
+plus (where SQL-expressible) the equivalent DuckDB oracle SQL. The driver
+compares row-count + schema + order-insensitive value-hash at sf0.01, so:
+
+- every computed column is aliased identically on both sides;
+- every floating-point aggregate goes through an exact decimal-cast sum
+  (see operators.relational.dsum) so results are bit-identical regardless
+  of each engine's summation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a query; ``oracle`` is DuckDB SQL over the driver's views
+    (region nation customer supplier part orders lineitem events documents
+    embeddings) or None for rows-only checks (non-SQL-expressible ops)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+OPERATOR_MODULES = [
+    "relational",
+    "aggregates",
+    "windows_sets",
+    "scalars",
+    "timewindows",
+]
+
+
+def load_all_operators() -> None:
+    """Import every operator module for its registration side effects."""
+    import importlib
+
+    for mod in OPERATOR_MODULES:
+        importlib.import_module(f"etf_topox_spark.operators.{mod}")
