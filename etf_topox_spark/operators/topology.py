@@ -1,0 +1,437 @@
+"""Distributed half-edge topology validation (SURVEY.md §2.A R3-R14,
+BASELINE.json:6).
+
+The reference builds ONE in-memory hashmap of directed edges keyed by
+coordinate hashes and detects conflicts at insert time (TopologyBuilder,
+single JVM). At 100 TB that store cannot exist; the architectural
+translation (SURVEY.md §4.1 last row) is:
+
+  rings ── mapInPandas ──► directed edges (coordinate-hashed, bit-packed
+        refs, planar cell cover)                                [stage A]
+  edges ── groupBy(edge key) ──► duplicate / overlapping boundary +
+        boundary classification: the "hashmap lookup" becomes a shuffle
+        on (lo_h, hi_h) — Spark's hash exchange IS the hashmap   [stage B]
+  edges ── explode(cover cells) → groupBy(cell).applyInPandas ──►
+        pairwise intersection kernel per cell; reports deduped by
+        point-ownership (a report survives only in the cell that owns the
+        intersection point), which makes the result partition-invariant
+                                                                 [stage C]
+  feature adjacency ── alternating large-star/small-star CC (O(log n)
+        rounds of joins) ──► free-standing surfaces              [stage D]
+  interior-ring edge match + ring orientation ──► invalid interiors
+                                                                 [stage E]
+
+Every decision is exact int64 arithmetic (functions.geom); every kernel is
+Arrow-batched (no per-row Python, BASELINE.json:15).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etf_topox_spark.functions import cells as C
+from etf_topox_spark.functions import coords as X
+from etf_topox_spark.functions import geom
+from etf_topox_spark.operators import topology_codes as codes
+
+EDGE_SCHEMA = (
+    "theme string, feature_id long, ring_idx int, is_exterior boolean, seq int, "
+    "x1 double, y1 double, x2 double, y2 double, "
+    "h1 long, h2 long, lo_h long, hi_h long, fwd boolean, obj_ref long, "
+    "cover_cells array<long>"
+)
+
+RING_META_SCHEMA = (
+    "theme string, feature_id long, ring_idx int, is_exterior boolean, "
+    "area2 long, min_x double, min_y double"
+)
+
+ERROR_SCHEMA = (
+    "theme string, error_code string, x double, y double, "
+    "feature_a long, feature_b long"
+)
+
+
+# --------------------------------------------------------------------------
+# Stage A: rings → directed edges (the posList-parse + hash analog, R3/R4/R5)
+# --------------------------------------------------------------------------
+
+def rings_to_edges(rings: DataFrame, cell_size: float = 2.0) -> DataFrame:
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["xs"].map(len).to_numpy() - 1  # closed rings: n-1 edges
+            rep = np.repeat(np.arange(len(pdf)), counts)
+            xs = np.concatenate(pdf["xs"].to_list()).astype(np.float64)
+            ys = np.concatenate(pdf["ys"].to_list()).astype(np.float64)
+            # per-ring consecutive pairs
+            starts = np.concatenate(([0], np.cumsum(counts + 1)))[:-1]
+            seq = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.empty(0, np.int64)
+            idx1 = np.repeat(starts, counts) + seq
+            x1, y1, x2, y2 = xs[idx1], ys[idx1], xs[idx1 + 1], ys[idx1 + 1]
+            h1 = X.pack_point(x1, y1)
+            h2 = X.pack_point(x2, y2)
+            lo = np.minimum(h1, h2)
+            hi = np.maximum(h1, h2)
+            cover = C.planar_bbox_cover(
+                np.minimum(x1, x2), np.minimum(y1, y2),
+                np.maximum(x1, x2), np.maximum(y1, y2), cell_size,
+            )
+            fid = pdf["feature_id"].to_numpy()[rep]
+            ridx = pdf["ring_idx"].to_numpy()[rep]
+            yield pd.DataFrame(
+                {
+                    "theme": pdf["theme"].to_numpy()[rep],
+                    "feature_id": fid,
+                    "ring_idx": ridx.astype(np.int32),
+                    "is_exterior": pdf["is_exterior"].to_numpy()[rep],
+                    "seq": seq.astype(np.int32),
+                    "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+                    "h1": h1, "h2": h2, "lo_h": lo, "hi_h": hi,
+                    "fwd": h1 <= h2,
+                    "obj_ref": X.pack_obj_ref(fid, ridx, seq),
+                    "cover_cells": cover,
+                }
+            )
+
+    return rings.mapInPandas(kernel, EDGE_SCHEMA)
+
+
+def ring_meta(rings: DataFrame) -> DataFrame:
+    """Per-ring exact signed area + min vertex (error anchor points)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            area2 = [
+                geom.ring_area2(np.asarray(xs, np.float64), np.asarray(ys, np.float64))
+                for xs, ys in zip(pdf["xs"], pdf["ys"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "theme": pdf["theme"],
+                    "feature_id": pdf["feature_id"],
+                    "ring_idx": pdf["ring_idx"].astype(np.int32),
+                    "is_exterior": pdf["is_exterior"],
+                    "area2": np.asarray(area2, np.int64),
+                    "min_x": pdf["xs"].map(min).astype(np.float64),
+                    "min_y": pdf["ys"].map(min).astype(np.float64),
+                }
+            )
+
+    return rings.mapInPandas(kernel, RING_META_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Stage B: duplicate / overlapping boundaries (R8) + boundary classes (R12)
+# --------------------------------------------------------------------------
+
+def undirected_edge_stats(edges: DataFrame) -> DataFrame:
+    """The reference's insert-time hashmap conflict check as one shuffle:
+    groupBy on the undirected coordinate-hash key."""
+    return (
+        edges.groupBy("theme", "lo_h", "hi_h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("fwd").cast("int")).alias("n_fwd"),
+            F.array_sort(F.collect_set("feature_id")).alias("features"),
+            F.min((F.col("x1") + F.col("x2")) / 2).alias("mid_x"),
+            F.min((F.col("y1") + F.col("y2")) / 2).alias("mid_y"),
+        )
+    )
+
+
+def boundary_errors(stats: DataFrame) -> DataFrame:
+    fa = F.element_at("features", 1)
+    fb = F.coalesce(F.element_at("features", 2), F.element_at("features", 1))
+    dup = stats.filter(F.col("n") > 2).select(
+        "theme",
+        F.lit(codes.DUPLICATE_BOUNDARY).alias("error_code"),
+        F.col("mid_x").alias("x"),
+        F.col("mid_y").alias("y"),
+        fa.alias("feature_a"),
+        fb.alias("feature_b"),
+    )
+    over = stats.filter(
+        (F.col("n") == 2) & ((F.col("n_fwd") == 2) | (F.col("n_fwd") == 0))
+    ).select(
+        "theme",
+        F.lit(codes.OVERLAPPING_BOUNDARY).alias("error_code"),
+        F.col("mid_x").alias("x"),
+        F.col("mid_y").alias("y"),
+        fa.alias("feature_a"),
+        fb.alias("feature_b"),
+    )
+    return dup.unionByName(over)
+
+
+def classify_boundaries(stats: DataFrame) -> DataFrame:
+    """R12: 1 incidence = outer/theme boundary, 2 = interior, >2 = invalid."""
+    return stats.select(
+        "theme",
+        "lo_h",
+        "hi_h",
+        F.when(F.col("n") == 1, "boundary")
+        .when(F.col("n") == 2, "interior")
+        .otherwise("invalid")
+        .alias("edge_class"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage C: per-cell intersection kernel (R9) — the X2 grouped-map host
+# --------------------------------------------------------------------------
+
+def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
+    exploded = edges.select(
+        "theme", "feature_id", "ring_idx", "x1", "y1", "x2", "y2", "cover_cells",
+        F.explode("cover_cells").alias("cell"),
+    )
+
+    empty = pd.DataFrame(
+        {c: pd.Series(dtype=d) for c, d in (
+            ("theme", "object"), ("error_code", "object"),
+            ("x", "float64"), ("y", "float64"),
+            ("feature_a", "int64"), ("feature_b", "int64"),
+        )}
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        cell = int(pdf["cell"].iloc[0])
+        I, J, px, py, same_ring = geom.segment_intersections(
+            pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
+            pdf["x2"].to_numpy(), pdf["y2"].to_numpy(),
+            pdf["feature_id"].to_numpy(), pdf["ring_idx"].to_numpy(),
+        )
+        if len(I) == 0:
+            return empty
+        # pair-canonical ownership dedup: a pair is reported only by the
+        # smallest cell both edges' covers share. Covers come from EXACT
+        # endpoint arithmetic, so ownership never depends on the float
+        # intersection point (which could round across a cell boundary) —
+        # this is what makes the result partition-invariant
+        # (SURVEY.md §7 risk #2 guard).
+        covers = pdf["cover_cells"].to_list()
+        own = np.fromiter(
+            (
+                min(set(covers[i]).intersection(covers[j]))
+                == cell
+                for i, j in zip(I, J)
+            ),
+            dtype=np.bool_,
+            count=len(I),
+        )
+        I, J, px, py, same_ring = I[own], J[own], px[own], py[own], same_ring[own]
+        if len(I) == 0:
+            return empty
+        fi = pdf["feature_id"].to_numpy()
+        fa = np.minimum(fi[I], fi[J])
+        fb = np.maximum(fi[I], fi[J])
+        code = np.where(same_ring, codes.RING_SELF_INTERSECTION, codes.EDGE_INTERSECTION)
+        out = pd.DataFrame(
+            {
+                "theme": pdf["theme"].to_numpy()[I],
+                "error_code": code,
+                "x": px, "y": py,
+                "feature_a": fa, "feature_b": fb,
+            }
+        )
+        # a pair can recur inside one cell via duplicate directed edges
+        return out.drop_duplicates()
+
+    return exploded.groupBy("cell").applyInPandas(kernel, ERROR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Stage D: free-standing surfaces (R10) — O(log n)-round connected components
+# --------------------------------------------------------------------------
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = _symmetrize(e)
+    m = sym.groupBy("src").agg(F.least(F.min("dst"), F.first("src")).alias("m"))
+    return (
+        sym.join(m, "src")
+        .filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # orient every edge large→small, then point all small neighbors (and the
+    # hub) at the minimum
+    o = e.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    m = o.groupBy("src").agg(F.min("dst").alias("m"))
+    hub = m.select(F.col("src"), F.col("m").alias("dst"))
+    spokes = (
+        o.join(m, "src")
+        .filter(F.col("dst") != F.col("m"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+    )
+    return hub.unionByName(spokes).distinct()
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """pairs(src, dst) undirected → (node, root) with root = component min.
+    Alternating large-star/small-star (public algorithm: Kiveris et al.,
+    'Connected Components in MapReduce and Beyond') — converges in
+    O(log n) rounds, each a bounded join+groupBy, no driver-side graph."""
+    e = pairs.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    prev_sig = None
+    prev_df = None
+    for _ in range(max_rounds):
+        # localCheckpoint truncates lineage each round — without it the
+        # join-of-join plan grows exponentially across iterations
+        new_e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        if prev_df is not None:
+            prev_df.unpersist()
+        prev_df, e = e, new_e
+        sig = e.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("src", "dst").cast("long")).alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    # converged: every edge is (node, root)
+    roots = e.select(F.col("src").alias("node"), F.col("dst").alias("root"))
+    return roots
+
+
+def free_standing_errors(
+    stats: DataFrame, meta: DataFrame
+) -> DataFrame:
+    """Components of the feature-adjacency graph not in the main body."""
+    shared = stats.filter(F.size("features") >= 2)
+    pairs = shared.select(
+        "theme",
+        F.element_at("features", 1).alias("src"),
+        F.explode(F.slice("features", 2, 1_000_000)).alias("dst"),
+    )
+    feats = meta.select("theme", "feature_id").distinct()
+    # per theme: isolate via theme-scoped node ids? themes are few; loop-free
+    # approach: run CC on (theme, src, dst) by packing theme into the id is
+    # overkill here — feature_ids are globally unique in this engine.
+    roots = connected_components(pairs.select("src", "dst"))
+    labeled = (
+        feats.join(roots, feats.feature_id == roots.node, "left")
+        .select(
+            "theme",
+            "feature_id",
+            F.coalesce("root", "feature_id").alias("root"),
+        )
+    )
+    comp_sizes = labeled.groupBy("theme", "root").agg(F.count(F.lit(1)).alias("sz"))
+    main = (
+        comp_sizes.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("theme").orderBy(F.col("sz").desc(), F.col("root"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("theme", F.col("root").alias("main_root"))
+    )
+    stray = (
+        labeled.join(main, "theme")
+        .filter(F.col("root") != F.col("main_root"))
+        .select("theme", "feature_id")
+    )
+    anchor = meta.filter(F.col("is_exterior")).groupBy("theme", "feature_id").agg(
+        F.min("min_x").alias("x"), F.min("min_y").alias("y")
+    )
+    return stray.join(anchor, ["theme", "feature_id"]).select(
+        "theme",
+        F.lit(codes.FREE_STANDING_SURFACE).alias("error_code"),
+        "x",
+        "y",
+        F.col("feature_id").alias("feature_a"),
+        F.col("feature_id").alias("feature_b"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage E: invalid interiors (R11) + ring orientation
+# --------------------------------------------------------------------------
+
+def interior_errors(edges: DataFrame, stats: DataFrame, meta: DataFrame) -> DataFrame:
+    hole_edges = edges.filter(~F.col("is_exterior")).select(
+        "theme", "feature_id", "ring_idx", "lo_h", "hi_h"
+    )
+    matched = hole_edges.join(
+        stats.select("theme", "lo_h", "hi_h", "n"), ["theme", "lo_h", "hi_h"]
+    )
+    empty = (
+        matched.groupBy("theme", "feature_id", "ring_idx")
+        .agg(F.max("n").alias("max_n"))
+        .filter(F.col("max_n") == 1)  # no edge of the hole is shared: gap
+        .select("theme", "feature_id", "ring_idx")
+    )
+    anchor = meta.select("theme", "feature_id", "ring_idx", "min_x", "min_y")
+    empty_err = empty.join(anchor, ["theme", "feature_id", "ring_idx"]).select(
+        "theme",
+        F.lit(codes.EMPTY_INTERIOR).alias("error_code"),
+        F.col("min_x").alias("x"),
+        F.col("min_y").alias("y"),
+        F.col("feature_id").alias("feature_a"),
+        F.col("feature_id").alias("feature_b"),
+    )
+    orient_err = meta.filter(
+        (F.col("is_exterior") & (F.col("area2") <= 0))
+        | (~F.col("is_exterior") & (F.col("area2") >= 0))
+    ).select(
+        "theme",
+        F.lit(codes.RING_ORIENTATION).alias("error_code"),
+        F.col("min_x").alias("x"),
+        F.col("min_y").alias("y"),
+        F.col("feature_id").alias("feature_a"),
+        F.col("feature_id").alias("feature_b"),
+    )
+    return empty_err.unionByName(orient_err)
+
+
+# --------------------------------------------------------------------------
+# Full pipeline (the Theme lifecycle, SURVEY.md §3.2)
+# --------------------------------------------------------------------------
+
+def validate_topology(
+    spark: SparkSession, rings: DataFrame, cell_size: float = 2.0
+) -> DataFrame:
+    """rings → topology_errors DataFrame (ERROR_SCHEMA). The engine's analog
+    of TopoX new-topology → parse-surface → detect-* → error doc."""
+    edges = rings_to_edges(rings, cell_size)
+    meta = ring_meta(rings)
+
+    zero = edges.filter(F.col("h1") == F.col("h2")).select(
+        "theme",
+        F.lit(codes.INVALID_EDGE).alias("error_code"),
+        F.col("x1").alias("x"),
+        F.col("y1").alias("y"),
+        F.col("feature_id").alias("feature_a"),
+        F.col("feature_id").alias("feature_b"),
+    )
+    ok = edges.filter(F.col("h1") != F.col("h2"))
+    stats = undirected_edge_stats(ok).cache()
+
+    return (
+        zero
+        .unionByName(boundary_errors(stats))
+        .unionByName(intersection_errors(ok, cell_size))
+        .unionByName(free_standing_errors(stats, meta))
+        .unionByName(interior_errors(ok, stats, meta))
+    )

@@ -1,0 +1,86 @@
+"""Golden topology tests (SURVEY.md §5.2 items 1+3): each defect fixture →
+expected error-code multiset, and the distributed result must equal the
+single-process numpy oracle exactly (same codes, coordinates, feature refs)
+— proving cell partitioning introduces no semantic drift.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from etf_topox_spark.operators import topology_codes as codes
+from etf_topox_spark.operators.topology import validate_topology
+from etf_topox_spark.sources.mosaic import mosaic_rings_pandas, surface_mosaic
+from tests.topology_oracle import ERR_COLS, validate_topology_oracle
+
+GRID = dict(rows=6, cols=6)
+
+# fixture → expected error-code multiset (counts derived from geometry)
+EXPECTED = {
+    "valid_mosaic": {},
+    # duplicated interior square (2,2): its 4 undirected edges are claimed
+    # 3× each (two originals + dup) → DUPLICATE_BOUNDARY ×4; the duplicate
+    # exterior also collinear-overlaps nothing beyond those edges
+    "dup_boundary": {codes.DUPLICATE_BOUNDARY: 4},
+    # bowtie ring: proper self-crossing at the center ×1; its area2 == 0 →
+    # RING_ORIENTATION; and its (1,1)→(1,0) edge now runs the SAME direction
+    # as the right neighbor's left edge → OVERLAPPING_BOUNDARY ×1
+    "self_intersect": {
+        codes.RING_SELF_INTERSECTION: 1,
+        codes.RING_ORIENTATION: 1,
+        codes.OVERLAPPING_BOUNDARY: 1,
+    },
+    "free_standing": {codes.FREE_STANDING_SURFACE: 1},
+    "hole_defect": {codes.EMPTY_INTERIOR: 1},
+    "zero_edge": {codes.INVALID_EDGE: 1},
+}
+
+
+def _canon(pdf: pd.DataFrame) -> pd.DataFrame:
+    return (
+        pdf[ERR_COLS]
+        .astype(
+            {
+                "theme": "object",
+                "error_code": "object",
+                "x": "float64",
+                "y": "float64",
+                "feature_a": "int64",
+                "feature_b": "int64",
+            }
+        )
+        .sort_values(ERR_COLS)
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("defect", sorted(EXPECTED))
+def test_golden_defects(spark, defect):
+    rings = surface_mosaic(spark, defect=defect, **GRID)
+    got = validate_topology(spark, rings).toPandas()
+    counts = got.groupby("error_code").size().to_dict()
+    assert counts == EXPECTED[defect], f"{defect}: {counts} != {EXPECTED[defect]}"
+    # distributed == oracle, bit-for-bit
+    oracle = validate_topology_oracle(mosaic_rings_pandas(defect=defect, **GRID))
+    pd.testing.assert_frame_equal(_canon(got), _canon(oracle))
+
+
+def test_overlap_partial_matches_oracle(spark):
+    # +0.5-shifted square: expected counts are geometry-derived, so just
+    # require nonempty intersection errors + exact oracle equality
+    rings = surface_mosaic(spark, defect="overlap_partial", **GRID)
+    got = validate_topology(spark, rings).toPandas()
+    assert (got.error_code == codes.EDGE_INTERSECTION).any()
+    oracle = validate_topology_oracle(mosaic_rings_pandas(defect="overlap_partial", **GRID))
+    pd.testing.assert_frame_equal(_canon(got), _canon(oracle))
+
+
+@pytest.mark.parametrize("cell_size", [0.7, 2.0, 11.0])
+def test_cell_size_invariance(spark, cell_size):
+    """Error set must not depend on the partitioning resolution (the
+    cross_cell regression guard, FIXTURES.md §2)."""
+    rings = surface_mosaic(spark, defect="overlap_partial", **GRID)
+    got = validate_topology(spark, rings, cell_size=cell_size).toPandas()
+    oracle = validate_topology_oracle(mosaic_rings_pandas(defect="overlap_partial", **GRID))
+    pd.testing.assert_frame_equal(_canon(got), _canon(oracle))
