@@ -45,6 +45,7 @@ OPERATOR_MODULES = [
     "scalars",
     "timewindows",
     "topology_queries",
+    "spatial_queries",
 ]
 
 
