@@ -1,0 +1,108 @@
+"""Driver-contract surface for the image path.
+
+- `image_tiling_invariants` (rows-only): per-image PSNR/caption/phash
+  round-trip results — pytest asserts every row passes (the BASELINE.json:15
+  gate); the driver sees stable rows.
+- `image_tile_stats`: tile counts/geometry per format — full DuckDB oracle
+  (tile counts are a closed form of the deterministic metadata cycle).
+- `raster_tile_assign`: tile-center → vector feature assignment with the
+  closed-form grid oracle (the J12 raster↔vector join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etf_topox_spark.operators.images import TILE, tile_images, tiling_invariants
+from etf_topox_spark.operators.spatial import pip_join
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.images import (
+    GEO_DIV,
+    GEO_KX,
+    GEO_KY,
+    GEO_M,
+    synthetic_images,
+)
+from etf_topox_spark.sources.mosaic import surface_mosaic
+
+N_IMAGES = 600
+GRID_N = 20
+
+
+@query("image_tiling_invariants")
+def image_tiling_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tiling_invariants(synthetic_images(spark, N_IMAGES)).orderBy("image_id")
+
+
+# tile counts per fmt: sizes cycle (64,64),(128,96),(96,128) by i%3 and fmt
+# cycles png/raw by i%2 → closed form over i < N_IMAGES
+_TILE_STATS_SQL = f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 2 WHEN 0 THEN 'png' ELSE 'raw' END AS fmt,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h
+  FROM (SELECT range AS i FROM range(0, {N_IMAGES}))
+)
+SELECT fmt,
+       CAST(SUM((w / {TILE}) * (h / {TILE})) AS BIGINT) AS n_tiles,
+       COUNT(*) AS n_images
+FROM imgs GROUP BY fmt ORDER BY fmt
+"""
+
+
+@query("image_tile_stats", oracle=_TILE_STATS_SQL)
+def image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imgs = synthetic_images(spark, N_IMAGES)
+    tiles = tile_images(imgs)
+    joined = tiles.join(imgs.select("image_id", "fmt"), "image_id")
+    return (
+        joined.groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.countDistinct("image_id").alias("n_images"),
+        )
+        .orderBy("fmt")
+    )
+
+
+# closed-form oracle for tile-center → grid-square assignment (same tie rule
+# as spatial_queries._PIP_SQL); centers regenerated in SQL from image ids
+_TILE_ASSIGN_SQL = f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         CAST((i * {GEO_KX}) % {GEO_M} AS DOUBLE) / {GEO_DIV} AS lon,
+         CAST((i * {GEO_KY}) % {GEO_M} AS DOUBLE) / {GEO_DIV} AS lat
+  FROM (SELECT range AS i FROM range(0, {N_IMAGES}))
+),
+tiles AS (
+  SELECT i, tx.range AS tx, ty.range AS ty,
+         lon + CAST(tx.range * {TILE} + {TILE // 2} AS DOUBLE) / 1024.0 AS cx,
+         lat + CAST(ty.range * {TILE} + {TILE // 2} AS DOUBLE) / 1024.0 AS cy
+  FROM imgs, range(0, 4) tx, range(0, 4) ty
+  WHERE tx.range < w / {TILE} AND ty.range < h / {TILE}
+),
+inside AS (SELECT * FROM tiles WHERE cx <= 20.0 AND cy <= 20.0)
+SELECT (i << 16) | (ty << 8) | tx AS tile_id,
+       CAST((CASE WHEN cy = floor(cy) AND cy > 0 THEN cy - 1 ELSE floor(cy) END) * {GRID_N}
+          + (CASE WHEN cx = floor(cx) AND cx > 0 THEN cx - 1 ELSE floor(cx) END) AS BIGINT)
+         AS feature_id
+FROM inside
+"""
+
+
+@query("raster_tile_assign", oracle=_TILE_ASSIGN_SQL)
+def raster_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = tile_images(synthetic_images(spark, N_IMAGES))
+    centers = tiles.select(
+        F.col("tile_id").alias("point_id"),
+        F.col("cx").alias("x"),
+        F.col("cy").alias("y"),
+    )
+    rings = surface_mosaic(spark, rows=GRID_N, cols=GRID_N, defect="valid_mosaic")
+    return pip_join(spark, centers, rings).select(
+        F.col("point_id").alias("tile_id"), "feature_id"
+    )

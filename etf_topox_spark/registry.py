@@ -46,6 +46,7 @@ OPERATOR_MODULES = [
     "timewindows",
     "topology_queries",
     "spatial_queries",
+    "image_queries",
 ]
 
 

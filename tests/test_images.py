@@ -1,0 +1,70 @@
+"""Image path tests (SURVEY.md §5.2 item 5): codec round-trips, per-row
+PSNR≥40dB + caption + phash invariants through tiling (BASELINE.json:15)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from etf_topox_spark.functions import image_codec as IC
+from etf_topox_spark.operators.images import tiling_invariants
+from etf_topox_spark.sources.images import image_pixels, synthetic_images
+
+
+@pytest.mark.parametrize("fmt", ["png", "raw"])
+@pytest.mark.parametrize("i,w,h", [(0, 64, 64), (7, 128, 96), (11, 96, 128)])
+def test_codec_roundtrip_exact(fmt, i, w, h):
+    img = image_pixels(i, w, h)
+    rt = IC.decode(IC.encode(img, fmt), fmt)
+    assert (rt == img).all()
+    assert IC.psnr(img, rt) == 99.0
+
+
+def test_png_decoder_handles_filtered_input():
+    # our encoder emits filter 0 only, but the decoder must accept a spec-
+    # compliant stream using Up filtering (synthesized here)
+    import struct
+    import zlib
+
+    img = image_pixels(3, 64, 64)
+    h, w, _ = img.shape
+    raw = np.empty((h, 1 + w * 3), np.uint8)
+    raw[0, 0] = 0
+    raw[0, 1:] = img[0].reshape(-1)
+    for y in range(1, h):
+        raw[y, 0] = 2  # Up
+        raw[y, 1:] = (img[y].astype(np.int32) - img[y - 1].astype(np.int32)).astype(np.uint8).reshape(-1)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    from etf_topox_spark.functions.image_codec import _PNG_SIG, _chunk
+
+    data = (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + _chunk(b"IEND", b"")
+    )
+    assert (IC.png_decode(data) == img).all()
+
+
+def test_psnr_sensitivity():
+    img = image_pixels(5, 64, 64)
+    noisy = img.copy()
+    noisy[::2] = np.clip(noisy[::2].astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    assert IC.psnr(img, noisy) < 40.0  # heavy corruption must fail the gate
+
+
+def test_unknown_codec_is_explicit():
+    with pytest.raises(NotImplementedError):
+        IC.encode(image_pixels(0, 64, 64), "jpeg")
+
+
+def test_tiling_invariants_spark(spark):
+    inv = tiling_invariants(synthetic_images(spark, 24)).toPandas()
+    assert len(inv) == 24
+    assert (inv.psnr >= 40.0).all()
+    assert inv.caption_ok.all()
+    assert inv.phash_ok.all()
+    # tile counts follow the (w/32)*(h/32) cycle: 4, 12, 12
+    got = inv.sort_values("image_id").n_tiles.to_numpy()
+    expect = np.tile([4, 12, 12], 8)
+    assert (got == expect).all()
