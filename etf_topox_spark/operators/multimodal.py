@@ -1,0 +1,169 @@
+"""Multimodal column operators (task brief): image/audio/video as opaque
+binary columns with typed metadata; decode / feature-extract / resize /
+frame-sample as Arrow kernels over mapInPandas.
+
+Image ops are REAL (our numpy codecs decode them). Audio/video decoding has
+no codec in this container, so those kernels are STUBBED exactly as the
+brief requires: the Spark-side plumbing (schema, batching, UDF signature)
+is real and tested against a deterministic fake decoder; passing
+`fake=False` raises NotImplementedError at the decode step.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etf_topox_spark.functions import image_codec as IC
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.images import synthetic_images
+
+FEAT_SCHEMA = "image_id string, feat array<float>"
+RESIZE_SCHEMA = "image_id string, bytes binary, w int, h int, fmt string"
+AUDIO_SCHEMA = "clip_id long, n_samples int, rms double, peak double"
+FRAME_SCHEMA = "video_id long, frame_idx int, frame_bytes binary"
+
+
+def image_features(images: DataFrame) -> DataFrame:
+    """Per-channel mean/std + 8-bin luma histogram → 14-dim feature."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.float64)
+                mean = img.mean(axis=(0, 1)) / 255.0
+                std = img.std(axis=(0, 1)) / 255.0
+                luma = img.mean(axis=2).ravel()
+                hist, _ = np.histogram(luma, bins=8, range=(0, 256))
+                hist = hist / luma.size
+                feats.append(np.concatenate([mean, std, hist]).astype(np.float32).tolist())
+            yield pd.DataFrame({"image_id": pdf["image_id"], "feat": feats})
+
+    return images.mapInPandas(kernel, FEAT_SCHEMA)
+
+
+def image_resize(images: DataFrame, out: int = 32) -> DataFrame:
+    """Block-mean downsample to out×out (sizes are multiples of 32)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt)
+                h, w, _ = img.shape
+                bh, bw = h // out, w // out
+                small = (
+                    img[: bh * out, : bw * out]
+                    .reshape(out, bh, out, bw, 3)
+                    .mean(axis=(1, 3))
+                    .astype(np.uint8)
+                )
+                rows.append((r.image_id, IC.encode(small, r.fmt), out, out, r.fmt))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes", "w", "h", "fmt"])
+
+    return images.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+# --- audio (STUB decode; real plumbing) ---------------------------------------
+
+def _fake_audio_decode(clip_id: int, n: int = 4096) -> np.ndarray:
+    """Deterministic fake PCM: a clip_id-seeded sinusoid mix."""
+    t = np.arange(n, dtype=np.float64)
+    f1 = 0.01 + (clip_id % 17) * 0.003
+    f2 = 0.002 + (clip_id % 5) * 0.001
+    return 0.5 * np.sin(2 * np.pi * f1 * t) + 0.25 * np.sin(2 * np.pi * f2 * t)
+
+
+def audio_features(clips: DataFrame, fake: bool = True) -> DataFrame:
+    """clips(clip_id long, audio binary) → per-clip RMS/peak. The decode
+    step is a stub: no audio codec ships in this container."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "audio decode requires an audio codec (not in this "
+                        "container); wire a decoder here at deploy"
+                    )
+                pcm = _fake_audio_decode(int(r.clip_id))
+                rows.append(
+                    (
+                        int(r.clip_id),
+                        len(pcm),
+                        float(np.sqrt(np.mean(pcm**2))),
+                        float(np.abs(pcm).max()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["clip_id", "n_samples", "rms", "peak"])
+
+    return clips.mapInPandas(kernel, AUDIO_SCHEMA)
+
+
+# --- video (STUB decode; real plumbing) ----------------------------------------
+
+def video_frame_sample(videos: DataFrame, every: int = 10, fake: bool = True) -> DataFrame:
+    """videos(video_id long, video binary, n_frames int) → every-Nth frame
+    as a raw tile. Decode is a stub (no video codec in this container); the
+    fake decoder emits deterministic 32×32 frames so the partitioning /
+    batch-shape / schema plumbing is fully exercised."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not fake:
+                    raise NotImplementedError(
+                        "video decode requires a video codec (not in this "
+                        "container); wire a demuxer+decoder here at deploy"
+                    )
+                for f in range(0, int(r.n_frames), every):
+                    frame = np.full((32, 32, 3), (int(r.video_id) * 31 + f) % 256, np.uint8)
+                    rows.append((int(r.video_id), f, IC.raw_encode(frame)))
+            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame_bytes"])
+
+    return videos.mapInPandas(kernel, FRAME_SCHEMA)
+
+
+# --- driver queries --------------------------------------------------------------
+
+@query("multimodal_image_features")
+def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return image_features(synthetic_images(spark, 200)).orderBy("image_id")
+
+
+@query("multimodal_image_resize")
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = image_resize(synthetic_images(spark, 200))
+    return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes")).orderBy(
+        "image_id"
+    )
+
+
+@query("multimodal_audio_features")
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clips = spark.range(100).select(
+        F.col("id").alias("clip_id"), F.lit(b"").alias("audio")
+    )
+    return audio_features(clips).orderBy("clip_id")
+
+
+@query("multimodal_video_frames")
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    videos = spark.range(40).select(
+        F.col("id").alias("video_id"),
+        F.lit(b"").alias("video"),
+        (F.lit(30) + (F.col("id") % 5) * 10).cast("int").alias("n_frames"),
+    )
+    return (
+        video_frame_sample(videos)
+        .groupBy("video_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("video_id")
+    )

@@ -1,0 +1,193 @@
+"""Text-analysis operators over the documents table — the training-data
+pipeline surface (task brief: language-ID heuristic, quality scoring, token
+counting, document fingerprinting). All JVM-side expressions where possible
+(whole-stage codegen); the rolling-hash fingerprint is the one Arrow kernel.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.tables import load_table as T
+
+
+# --- token counting (whitespace tokenizer; BPE-ish subword estimate) ---------
+
+@query(
+    "text_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq,
+           n_chars,
+           CAST(n_chars AS DOUBLE) /
+             len(string_split_regex(trim(text), '\s+')) AS chars_per_token
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.size(toks)).alias("chars_per_token"),
+    )
+
+
+# --- quality scoring ----------------------------------------------------------
+
+@query(
+    "text_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq,
+             (length(text) - length(replace(text, ' the ', ''))) / 5 AS n_stop
+      FROM documents)
+    SELECT doc_id,
+           CAST(n_uniq AS DOUBLE) / n_tokens AS type_token_ratio,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+             * (CAST(n_uniq AS DOUBLE) / n_tokens) AS quality_score
+    FROM t
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
+    return d.select(
+        "doc_id",
+        (n_uniq.cast("double") / n_tokens).alias("type_token_ratio"),
+        (n_stop.cast("double") / n_tokens).alias("stopword_ratio"),
+        (
+            F.least(n_tokens.cast("double") / 64.0, F.lit(1.0))
+            * (n_uniq.cast("double") / n_tokens)
+        ).alias("quality_score"),
+    )
+
+
+# --- language-ID heuristic (marker-token counts via replace-length trick) ------
+
+_MARKERS = {"en": " the ", "es": " la ", "de": " der ", "fr": " le "}
+
+
+def _occ_sql(m: str) -> str:
+    return f"(length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{m}', ''))) / {len(m)}"
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN {_occ_sql(' the ')} > 0 THEN 'en'
+                WHEN {_occ_sql(' la ')} > 0 THEN 'es'
+                WHEN {_occ_sql(' der ')} > 0 THEN 'de'
+                WHEN {_occ_sql(' le ')} > 0 THEN 'fr'
+                ELSE 'unk' END AS lang_pred
+    FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+
+    def occ(m: str):
+        return (F.length(padded) - F.length(F.replace(padded, F.lit(m)))) / len(m)
+
+    pred = (
+        F.when(occ(" the ") > 0, "en")
+        .when(occ(" la ") > 0, "es")
+        .when(occ(" der ") > 0, "de")
+        .when(occ(" le ") > 0, "fr")
+        .otherwise("unk")
+    )
+    return d.select("doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred"))
+
+
+# --- fingerprints ---------------------------------------------------------------
+
+@query(
+    "text_fingerprint_md5",
+    oracle="SELECT doc_id, md5(text) AS fp FROM documents",
+)
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+    return d.select("doc_id", F.md5("text").alias("fp"))
+
+
+ROLL_BASE = 257
+ROLL_MOD = (1 << 61) - 1
+
+
+def rolling_hash_np(texts: pd.Series) -> np.ndarray:
+    """Polynomial rolling hash over UTF-8 bytes, mod 2^61-1 (python ints —
+    exact; vectorization is across documents via the Arrow batch)."""
+    out = np.empty(len(texts), np.int64)
+    for k, t in enumerate(texts):
+        h = 0
+        for b in t.encode("utf-8"):
+            h = (h * ROLL_BASE + b) % ROLL_MOD
+        out[k] = h
+    return out
+
+
+@query("text_fingerprint_rolling")
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fp": rolling_hash_np(pdf["text"])}
+            )
+
+    return d.select("doc_id", "text").mapInPandas(kernel, "doc_id long, fp long")
+
+
+# --- word-level jaccard similarity (the n-gram variant lives in dedup.py) -------
+
+@query(
+    "text_token_jaccard",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+      FROM documents WHERE doc_id < 40)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+             AS jaccard
+    FROM t a JOIN t b ON a.doc_id < b.doc_id
+    """,
+)
+def text_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    t = d.select(
+        "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks")
+    )
+    a = t.alias("a")
+    b = t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks")))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (
+                inter.cast("double")
+                / (F.size("a.toks") + F.size("b.toks") - inter)
+            ).alias("jaccard"),
+        )
+    )

@@ -47,7 +47,14 @@ OPERATOR_MODULES = [
     "topology_queries",
     "spatial_queries",
     "image_queries",
+    "text",
+    "dedup",
+    "similarity",
+    "multimodal",
+    "lineage_queries",
 ]
+
+EXTRA_MODULES = ["etf_topox_spark.streaming.events"]
 
 
 def load_all_operators() -> None:
@@ -70,3 +77,5 @@ def load_all_operators() -> None:
 
     for mod in OPERATOR_MODULES:
         importlib.import_module(f"etf_topox_spark.operators.{mod}")
+    for mod in EXTRA_MODULES:
+        importlib.import_module(mod)

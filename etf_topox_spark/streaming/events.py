@@ -1,0 +1,162 @@
+"""Structured-Streaming surface over the events table (SURVEY.md §2.B
+T1-T6): watermarks, tumbling/session windows, stateful dedup, arbitrary
+state, and replay-equivalence with the batch twins.
+
+Local streams replay the events parquet through a file source with an
+availableNow trigger into a memory sink — a deterministic single pass whose
+result must equal the batch query (tests assert it; the driver checks
+`streaming_tumbling_replay` against the same DuckDB oracle as the batch
+tumbling window).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etf_topox_spark.operators.relational import _dsum_sql, dsum
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.tables import load_table as T
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stage_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Copy the events parquet into a per-(sf,pid) temp dir so the file
+    source has a stable directory to watch."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"etfx_stream_{tag}_{os.getpid()}")
+    if not os.path.isdir(d) or not os.listdir(d):
+        os.makedirs(d, exist_ok=True)
+        shutil.copy(os.path.join(sf_dir, "events.parquet"), os.path.join(d, "events.parquet"))
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # single batch → deterministic
+        .parquet(_stage_stream_dir(spark, sf_dir))
+    )
+    # watermarks require TIMESTAMP; interpret the naive ts as a UTC instant
+    # (session-TZ-independent: to_utc_timestamp(ntz,'UTC') →
+    # convert_timezone('UTC','UTC', ·) round-trips exactly)
+    return s.withColumn("ts", F.to_utc_timestamp("ts", "UTC"))
+
+
+def _ntz(col):
+    """TIMESTAMP (UTC-instant) → the original naive wall time."""
+    return F.convert_timezone(F.lit("UTC"), F.lit("UTC"), col)
+
+
+def run_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+# --- T1+T2: watermarked tumbling windows, replay == batch == DuckDB oracle ----
+
+_TUMBLING_ORACLE = f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+"""
+
+
+@query("streaming_tumbling_replay", oracle=_TUMBLING_ORACLE)
+def streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = s.groupBy(F.window("ts", "15 minutes").alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("sum_value")
+    )
+    out = run_to_memory(agg, f"tumbling_replay_{abs(hash(sf_dir)) % 10**6}", "complete")
+    return out.select(
+        _ntz(F.col("w.start")).alias("window_start"), "event_type", "n_events", "sum_value"
+    ).orderBy("window_start", "event_type")
+
+
+# --- T3: streaming session windows ---------------------------------------------
+
+@query("streaming_session_windows")
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    agg = s.groupBy(
+        F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = run_to_memory(agg, f"session_replay_{abs(hash(sf_dir)) % 10**6}", "complete")
+    return out.select(
+        "user_id", _ntz(F.col("sw.start")).alias("session_start"), "n_events"
+    ).orderBy("user_id", "session_start")
+
+
+# --- T4: stateful dedup -----------------------------------------------------------
+
+@query("streaming_dedup")
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+    # planted duplicates: replay each event twice via unionByName
+    dup = s.unionByName(s)
+    dd = dup.dropDuplicatesWithinWatermark(["event_id"])
+    agg = dd.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique"))
+    out = run_to_memory(agg, f"dedup_replay_{abs(hash(sf_dir)) % 10**6}", "complete")
+    return out.orderBy("event_type")
+
+
+# --- T5: arbitrary state (per-user running tally kernel) ---------------------------
+
+def user_tally_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: per-user event tally + max value — the
+    TopologyErrorCollector-style incremental tally re-expressed as a
+    stateful streaming kernel (SURVEY.md §2.B T5)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+
+    def tally(key, pdfs, state: GroupState):
+        count, vmax = state.get if state.exists else (0, float("-inf"))
+        for pdf in pdfs:
+            count += len(pdf)
+            if len(pdf):
+                vmax = max(vmax, float(pdf["value"].max()))
+        state.update((count, vmax))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [count], "max_value": [vmax]}
+        )
+
+    return s.groupBy("user_id").applyInPandasWithState(
+        tally,
+        outputStructType="user_id long, n_events long, max_value double",
+        stateStructType="n_events long, max_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query("streaming_stateful_tally")
+def streaming_stateful_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(
+        user_tally_stream(spark, sf_dir),
+        f"tally_replay_{abs(hash(sf_dir)) % 10**6}",
+        "update",
+    )
+    return out.orderBy("user_id")
