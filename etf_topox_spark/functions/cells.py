@@ -154,17 +154,39 @@ def planar_bbox_cover(
     xmin: np.ndarray, ymin: np.ndarray, xmax: np.ndarray, ymax: np.ndarray, cell_size: float
 ) -> list[np.ndarray]:
     """Ragged list: all planar cells each bbox overlaps."""
+    rows, cells = planar_cover_flat(xmin, ymin, xmax, ymax, cell_size)
+    bounds = np.searchsorted(rows, np.arange(1, len(np.asarray(xmin))))
+    return np.split(cells, bounds)
+
+
+def planar_cover_flat(
+    xmin: np.ndarray, ymin: np.ndarray, xmax: np.ndarray, ymax: np.ndarray, cell_size: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exploded cover: (row_idx, cell) pairs for every cell each
+    bbox overlaps — no per-row Python (hot path of rings→edges at scale)."""
     x0 = np.floor(np.asarray(xmin, np.float64) / cell_size).astype(np.int64) + _PLANAR_OFF
     x1 = np.floor(np.asarray(xmax, np.float64) / cell_size).astype(np.int64) + _PLANAR_OFF
     y0 = np.floor(np.asarray(ymin, np.float64) / cell_size).astype(np.int64) + _PLANAR_OFF
     y1 = np.floor(np.asarray(ymax, np.float64) / cell_size).astype(np.int64) + _PLANAR_OFF
-    out: list[np.ndarray] = []
-    for a, b, c, d in zip(x0, x1, y0, y1):
-        xs = np.arange(a, b + 1, dtype=np.uint64)
-        ys = np.arange(c, d + 1, dtype=np.uint64)
-        gx, gy = np.meshgrid(xs, ys, indexing="ij")
-        out.append(_xy_to_cell(gx.ravel(), gy.ravel(), _PLANAR_RES))
-    return out
+    nx = x1 - x0 + 1
+    ny = y1 - y0 + 1
+    total = nx * ny
+    rows = np.repeat(np.arange(len(x0), dtype=np.int64), total)
+    tsum = int(total.sum())
+    off = np.arange(tsum, dtype=np.int64) - np.repeat(np.cumsum(total) - total, total)
+    ny_r = ny[rows]
+    xi = (x0[rows] + off // ny_r).astype(np.uint64)
+    yi = (y0[rows] + off % ny_r).astype(np.uint64)
+    return rows, _xy_to_cell(xi, yi, _PLANAR_RES)
+
+
+def planar_owner_corner(
+    axmin: np.ndarray, aymin: np.ndarray, bxmin: np.ndarray, bymin: np.ndarray, cell_size: float
+) -> np.ndarray:
+    """Deterministic owner cell for an overlapping bbox pair: the cell of
+    the intersection rectangle's min corner (max of the two mins). The
+    corner coords are selected, not computed, so no float drift."""
+    return planar_cell(np.maximum(axmin, bxmin), np.maximum(aymin, bymin), cell_size)
 
 
 # --- Spark surface: Arrow-batched pandas UDF factories ----------------------

@@ -1,0 +1,140 @@
+"""Report/export surface (SURVEY.md §2.A R13/R15/R16, §2.B S6, A8, F9, X5).
+
+The reference streams an XML error report that XQuery assertions re-read,
+plus an optional GeoJSON export of erroneous features for inspection
+(TopologyErrorXmlWriter / TopoX GeoJSON exporter — [ref-pub], SURVEY.md
+§2.A R13/R15). The engine's analogs: a JSON error report (to_json rows), a
+GeoJSON FeatureCollection of the features referenced by errors (semi-join
+errors→rings), and a per-theme error histogram (the A8 grouped-map UDAF
+shape).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etf_topox_spark.operators.topology import validate_topology
+from etf_topox_spark.registry import query
+from etf_topox_spark.sources.mosaic import surface_mosaic
+
+
+def error_report_json(errors: DataFrame) -> DataFrame:
+    """S6: one JSON document line per error — the XML-report analog."""
+    return errors.select(
+        F.to_json(
+            F.struct("theme", "error_code", "x", "y", "feature_a", "feature_b")
+        ).alias("report_line")
+    )
+
+
+def geojson_errors(errors: DataFrame, rings: DataFrame) -> DataFrame:
+    """R15: GeoJSON Feature per erroneous feature (exterior ring geometry,
+    error codes collected as properties). Pure DataFrame ops + to_json."""
+    bad_feats = (
+        errors.groupBy("theme", F.col("feature_a").alias("feature_id"))
+        .agg(F.array_sort(F.collect_set("error_code")).alias("codes"))
+    )
+    geo = rings.filter(F.col("is_exterior")).join(bad_feats, ["theme", "feature_id"])
+    coords = F.zip_with("xs", "ys", lambda x, y: F.array(x, y))
+    feature = F.to_json(
+        F.struct(
+            F.lit("Feature").alias("type"),
+            F.struct(
+                F.lit("Polygon").alias("type"),
+                F.array(coords).alias("coordinates"),
+            ).alias("geometry"),
+            F.struct(
+                F.col("feature_id"),
+                F.col("theme"),
+                F.col("codes"),
+            ).alias("properties"),
+        )
+    )
+    return geo.select("theme", "feature_id", feature.alias("feature_json"))
+
+
+@query("topology_error_report")
+def topology_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rings = surface_mosaic(spark, rows=8, cols=8, defect="overlap_partial")
+    return error_report_json(validate_topology(spark, rings)).orderBy("report_line")
+
+
+@query("topology_geojson_export")
+def topology_geojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rings = surface_mosaic(spark, rows=8, cols=8, defect="overlap_partial")
+    errors = validate_topology(spark, rings)
+    return geojson_errors(errors, rings).orderBy("feature_id")
+
+
+# --- A8: grouped-map UDAF — per-theme error histogram ------------------------
+
+@query("topology_error_histogram")
+def topology_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rings = surface_mosaic(spark, rows=8, cols=8, defect="self_intersect")
+    errors = validate_topology(spark, rings)
+
+    def hist(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        counts = pdf.groupby("error_code").size().sort_index()
+        return pd.DataFrame(
+            {
+                "theme": [key[0]] * len(counts),
+                "error_code": counts.index,
+                "n": counts.to_numpy(),
+                "share": (counts / counts.sum()).to_numpy(),
+            }
+        )
+
+    return (
+        errors.groupBy("theme")
+        .applyInPandas(hist, "theme string, error_code string, n long, share double")
+        .orderBy("theme", "error_code")
+    )
+
+
+# --- F9: cell-index function family as a query surface ------------------------
+
+@query("cell_index_ops")
+def cell_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etf_topox_spark.functions import cells as C
+    from etf_topox_spark.sources.points import synthetic_points
+
+    pts = synthetic_points(spark, 2_000)
+    cell8 = C.latlng_to_cell_udf(8)("x", "y")
+    out = pts.select(
+        "point_id",
+        cell8.alias("cell8"),
+        C.cell_to_parent_udf(4)(cell8).alias("cell4"),
+        F.size(C.cell_ring_udf(1)(cell8)).alias("ring1_size"),
+    )
+    return out.orderBy("point_id")
+
+
+# --- X5: Python UDTF — the ring→edges exploder as a table function -------------
+
+def register_ring_edges_udtf(spark: SparkSession):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="seq int, x1 double, y1 double, x2 double, y2 double")
+    class RingEdges:
+        def eval(self, xs, ys):
+            for i in range(len(xs) - 1):
+                yield i, float(xs[i]), float(ys[i]), float(xs[i + 1]), float(ys[i + 1])
+
+    spark.udtf.register("ring_edges", RingEdges)
+    return RingEdges
+
+
+@query("udtf_ring_edges")
+def udtf_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_ring_edges_udtf(spark)
+    rings = surface_mosaic(spark, rows=4, cols=4, defect="valid_mosaic")
+    rings.createOrReplaceTempView("udtf_rings_v")
+    return spark.sql(
+        """
+        SELECT r.feature_id, e.seq, e.x1, e.y1, e.x2, e.y2
+        FROM udtf_rings_v r, LATERAL ring_edges(r.xs, r.ys) e
+        ORDER BY r.feature_id, e.seq
+        """
+    )

@@ -43,8 +43,7 @@ from etf_topox_spark.operators import topology_codes as codes
 EDGE_SCHEMA = (
     "theme string, feature_id long, ring_idx int, is_exterior boolean, seq int, "
     "x1 double, y1 double, x2 double, y2 double, "
-    "h1 long, h2 long, lo_h long, hi_h long, fwd boolean, obj_ref long, "
-    "cover_cells array<long>"
+    "h1 long, h2 long, lo_h long, hi_h long, fwd boolean, obj_ref long"
 )
 
 RING_META_SCHEMA = (
@@ -78,12 +77,6 @@ def rings_to_edges(rings: DataFrame, cell_size: float = 2.0) -> DataFrame:
             x1, y1, x2, y2 = xs[idx1], ys[idx1], xs[idx1 + 1], ys[idx1 + 1]
             h1 = X.pack_point(x1, y1)
             h2 = X.pack_point(x2, y2)
-            lo = np.minimum(h1, h2)
-            hi = np.maximum(h1, h2)
-            cover = C.planar_bbox_cover(
-                np.minimum(x1, x2), np.minimum(y1, y2),
-                np.maximum(x1, x2), np.maximum(y1, y2), cell_size,
-            )
             fid = pdf["feature_id"].to_numpy()[rep]
             ridx = pdf["ring_idx"].to_numpy()[rep]
             yield pd.DataFrame(
@@ -94,10 +87,10 @@ def rings_to_edges(rings: DataFrame, cell_size: float = 2.0) -> DataFrame:
                     "is_exterior": pdf["is_exterior"].to_numpy()[rep],
                     "seq": seq.astype(np.int32),
                     "x1": x1, "y1": y1, "x2": x2, "y2": y2,
-                    "h1": h1, "h2": h2, "lo_h": lo, "hi_h": hi,
+                    "h1": h1, "h2": h2,
+                    "lo_h": np.minimum(h1, h2), "hi_h": np.maximum(h1, h2),
                     "fwd": h1 <= h2,
                     "obj_ref": X.pack_obj_ref(fid, ridx, seq),
-                    "cover_cells": cover,
                 }
             )
 
@@ -190,11 +183,36 @@ def classify_boundaries(stats: DataFrame) -> DataFrame:
 # Stage C: per-cell intersection kernel (R9) — the X2 grouped-map host
 # --------------------------------------------------------------------------
 
-def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
-    exploded = edges.select(
-        "theme", "feature_id", "ring_idx", "x1", "y1", "x2", "y2", "cover_cells",
-        F.explode("cover_cells").alias("cell"),
+def explode_cover(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
+    """One row per (edge, overlapped planar cell) — fully vectorized; the
+    exploded form feeds the per-cell kernel without array columns."""
+    cols = ["theme", "feature_id", "ring_idx", "x1", "y1", "x2", "y2"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x1 = pdf["x1"].to_numpy()
+            y1 = pdf["y1"].to_numpy()
+            x2 = pdf["x2"].to_numpy()
+            y2 = pdf["y2"].to_numpy()
+            rows, cells = C.planar_cover_flat(
+                np.minimum(x1, x2), np.minimum(y1, y2),
+                np.maximum(x1, x2), np.maximum(y1, y2), cell_size,
+            )
+            out = pdf.iloc[rows][cols].reset_index(drop=True)
+            out["cell"] = cells.astype(np.int64)
+            yield out
+
+    return edges.select(*cols).mapInPandas(
+        kernel,
+        "theme string, feature_id long, ring_idx int, "
+        "x1 double, y1 double, x2 double, y2 double, cell long",
     )
+
+
+def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
+    exploded = explode_cover(edges, cell_size)
 
     empty = pd.DataFrame(
         {c: pd.Series(dtype=d) for c, d in (
@@ -206,28 +224,26 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         cell = int(pdf["cell"].iloc[0])
+        x1 = pdf["x1"].to_numpy()
+        y1 = pdf["y1"].to_numpy()
+        x2 = pdf["x2"].to_numpy()
+        y2 = pdf["y2"].to_numpy()
         I, J, px, py, same_ring = geom.segment_intersections(
-            pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
-            pdf["x2"].to_numpy(), pdf["y2"].to_numpy(),
+            x1, y1, x2, y2,
             pdf["feature_id"].to_numpy(), pdf["ring_idx"].to_numpy(),
         )
         if len(I) == 0:
             return empty
-        # pair-canonical ownership dedup: a pair is reported only by the
-        # smallest cell both edges' covers share. Covers come from EXACT
-        # endpoint arithmetic, so ownership never depends on the float
-        # intersection point (which could round across a cell boundary) —
-        # this is what makes the result partition-invariant
-        # (SURVEY.md §7 risk #2 guard).
-        covers = pdf["cover_cells"].to_list()
-        own = np.fromiter(
-            (
-                min(set(covers[i]).intersection(covers[j]))
-                == cell
-                for i, j in zip(I, J)
-            ),
-            dtype=np.bool_,
-            count=len(I),
+        # pair-canonical ownership: the pair is reported only by the cell of
+        # the min corner of the two edges' bbox intersection. Corner coords
+        # are SELECTED from exact endpoint values (no float arithmetic), so
+        # every cell's kernel instance — and only one — claims the pair:
+        # partition-invariance (SURVEY.md §7 risk #2 guard).
+        bxmin = np.minimum(x1, x2)
+        bymin = np.minimum(y1, y2)
+        own = (
+            C.planar_owner_corner(bxmin[I], bymin[I], bxmin[J], bymin[J], cell_size)
+            == cell
         )
         I, J, px, py, same_ring = I[own], J[own], px[own], py[own], same_ring[own]
         if len(I) == 0:
@@ -285,12 +301,48 @@ def _small_star(e: DataFrame) -> DataFrame:
     return hub.unionByName(spokes).distinct()
 
 
+DRIVER_CC_MAX_PAIRS = 5_000_000
+
+
 def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     """pairs(src, dst) undirected → (node, root) with root = component min.
-    Alternating large-star/small-star (public algorithm: Kiveris et al.,
-    'Connected Components in MapReduce and Beyond') — converges in
-    O(log n) rounds, each a bounded join+groupBy, no driver-side graph."""
+
+    Hybrid strategy (AQE-style size switch): below DRIVER_CC_MAX_PAIRS the
+    deduped pair set is collected and solved with a vectorized union-find —
+    the star loop's per-round latency (a fixed number of shuffles) would
+    dwarf the work. Above it, alternating large-star/small-star (public
+    algorithm: Kiveris et al., 'Connected Components in MapReduce and
+    Beyond') converges in O(log n) rounds of bounded joins with no
+    driver-side graph — the 100 TB path."""
     e = pairs.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    n_pairs = e.count()
+    if n_pairs <= DRIVER_CC_MAX_PAIRS:
+        spark = pairs.sparkSession
+        pdf = e.toPandas()
+        src = pdf["src"].to_numpy()
+        dst = pdf["dst"].to_numpy()
+        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        parent = np.arange(len(nodes), dtype=np.int64)
+
+        def find(a: int) -> int:
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        si = inv[: len(src)]
+        di = inv[len(src):]
+        for a, b in zip(si.tolist(), di.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if nodes[ra] < nodes[rb]:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        roots = nodes[np.array([find(i) for i in range(len(nodes))], dtype=np.int64)]
+        out = pd.DataFrame({"node": nodes, "root": roots})
+        return spark.createDataFrame(out)
     prev_sig = None
     prev_df = None
     for _ in range(max_rounds):
@@ -414,7 +466,10 @@ def validate_topology(
 ) -> DataFrame:
     """rings → topology_errors DataFrame (ERROR_SCHEMA). The engine's analog
     of TopoX new-topology → parse-surface → detect-* → error doc."""
-    edges = rings_to_edges(rings, cell_size)
+    # edges feed four consumers (zero-length, stats, intersections,
+    # interiors): a lazy local checkpoint materializes the kernel output
+    # once instead of re-running the rings→edges pass per consumer
+    edges = rings_to_edges(rings, cell_size).localCheckpoint(eager=False)
     meta = ring_meta(rings)
 
     zero = edges.filter(F.col("h1") == F.col("h2")).select(

@@ -52,6 +52,7 @@ OPERATOR_MODULES = [
     "similarity",
     "multimodal",
     "lineage_queries",
+    "export",
 ]
 
 EXTRA_MODULES = ["etf_topox_spark.streaming.events"]

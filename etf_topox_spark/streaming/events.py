@@ -121,6 +121,39 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("event_type")
 
 
+# --- T6: foreachBatch → checkpoint sink (reuses the S5 lineage machinery) ----
+
+@query("streaming_foreachbatch_checkpoint")
+def streaming_foreachbatch_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream → foreachBatch → range-partitioned checkpoint with lineage
+    (SURVEY.md §2.B T6/S5): returns the manifest rows written."""
+    import tempfile
+
+    from etf_topox_spark.plans.lineage import checkpoint_write, completed_ranges
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"etfx_stream_ckpt_{os.path.basename(os.path.normpath(sf_dir))}_{os.getpid()}",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    s = events_stream(spark, sf_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        checkpoint_write(
+            batch_df.select(F.col("event_id").alias("cell"), "user_id", "value"),
+            base,
+            stage=f"batch_{batch_id}",
+            cell_col="cell",
+        )
+
+    q = s.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+    m = spark.read.parquet(os.path.join(base, "manifest"))
+    return m.select("stage", "part_id", "cell_min", "cell_max", "row_count").orderBy(
+        "stage", "part_id"
+    )
+
+
 # --- T5: arbitrary state (per-user running tally kernel) ---------------------------
 
 def user_tally_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
