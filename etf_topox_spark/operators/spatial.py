@@ -134,7 +134,10 @@ def pip_join(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > hot_threshold)
         .select("cell", F.lit(True).alias("is_hot"))
-    ).localCheckpoint(eager=False)
+        # eager: the recon result is tiny and broadcast twice; a LAZY local
+        # checkpoint evaluated concurrently under two broadcasts can crash
+        # the Python worker (segfault observed at 1M points, local[8])
+    ).localCheckpoint(eager=True)
     pts_salted = (
         pts.join(F.broadcast(hot), "cell", "left")
         .withColumn(
@@ -145,18 +148,18 @@ def pip_join(
         )
         .drop("is_hot")
     )
-    poly_salted = (
-        poly_cells.join(F.broadcast(hot), "cell", "left")
-        .withColumn(
-            "salt",
-            F.explode(
-                F.when(F.col("is_hot"), F.sequence(F.lit(0), F.lit(salt - 1))).otherwise(
-                    F.array(F.lit(0))
-                )
-            ),
-        )
-        .drop("is_hot")
+    # NB: explode(when(is_hot, sequence, array(0))) after the broadcast left
+    # join segfaults Spark 4.1's Python-worker Arrow reader at ~1M rows —
+    # the semi/anti union branches below are the same semantics without the
+    # conditional explode
+    salts_df = spark.range(salt).select(F.col("id").alias("salt"))
+    poly_hot = poly_cells.join(F.broadcast(hot.select("cell")), "cell", "left_semi").crossJoin(
+        F.broadcast(salts_df)
     )
+    poly_cold = poly_cells.join(
+        F.broadcast(hot.select("cell")), "cell", "left_anti"
+    ).withColumn("salt", F.lit(0).cast("long"))
+    poly_salted = poly_hot.unionByName(poly_cold)
 
     def kernel(key, p_pdf: pd.DataFrame, g_pdf: pd.DataFrame) -> pd.DataFrame:
         return _pip_group(p_pdf, g_pdf)
@@ -256,7 +259,7 @@ def knn_join(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > hot_threshold)
         .select("cell", F.lit(True).alias("is_hot"))
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     corp = (
         base.join(F.broadcast(hot), "cell", "left")
         .withColumn(
@@ -267,7 +270,7 @@ def knn_join(
         )
         .drop("is_hot")
     ).localCheckpoint(eager=False)
-    all_salts = F.sequence(F.lit(0), F.lit(salt - 1))
+    salts_df = probes.sparkSession.range(salt).select(F.col("id").alias("salt"))
     pr = probes.select(
         F.col("point_id").alias("query_id"), "x", "y",
         C.latlng_to_cell_udf(res)("x", "y").alias("pcell"),
@@ -282,17 +285,16 @@ def knn_join(
     pending = pr
     for lvl in levels:
         ring = C.cell_ring_udf(lvl)
-        exploded = (
-            pending.withColumn("cell", F.explode(ring("pcell")))
-            .join(F.broadcast(hot), "cell", "left")
-            .withColumn(
-                "salt",
-                F.explode(
-                    F.when(F.col("is_hot"), all_salts).otherwise(F.array(F.lit(0)))
-                ),
-            )
-            .drop("is_hot")
-        )
+        ringed = pending.withColumn("cell", F.explode(ring("pcell")))
+        # same union-branch shape as pip_join (conditional explode after a
+        # broadcast left join crashes the Arrow worker at scale)
+        ring_hot = ringed.join(
+            F.broadcast(hot.select("cell")), "cell", "left_semi"
+        ).crossJoin(F.broadcast(salts_df))
+        ring_cold = ringed.join(
+            F.broadcast(hot.select("cell")), "cell", "left_anti"
+        ).withColumn("salt", F.lit(0).cast("long"))
+        exploded = ring_hot.unionByName(ring_cold)
         # local top-k inside each (cell, salt) group (numpy); tiny merge after
         local = (
             exploded.groupBy("cell", "salt")
