@@ -30,16 +30,12 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # latency (otherwise the 8-vs-32 ratio measures Spark's constant overheads,
 # not the engine). Sizes are identical at every parallelism level.
 PROFILE = os.environ.get("SPARK_GRAFT_BENCH_PROFILE", "round")
-if PROFILE == "scaling":
-    TOPO_ROWS, TOPO_COLS = 450, 450        # 202k surfaces → 810k edges
-    PIP_POINTS = 4_000_000
-    KNN_PROBES, KNN_CORPUS = 5_000, 200_000
-    N_IMAGES = 6_000
-else:
-    TOPO_ROWS, TOPO_COLS = 250, 250        # 62.5k surfaces → 250k edges
-    PIP_POINTS = 500_000
-    KNN_PROBES, KNN_CORPUS = 1_000, 100_000
-    N_IMAGES = 1_500
+PROFILES = {
+    # rows, cols, pip points, knn probes, knn corpus, images
+    "scaling": (450, 450, 4_000_000, 5_000, 200_000, 6_000),  # 202k surfaces → 810k edges
+    "round": (250, 250, 500_000, 1_000, 100_000, 1_500),      # 62.5k surfaces → 250k edges
+}
+TOPO_ROWS, TOPO_COLS, PIP_POINTS, KNN_PROBES, KNN_CORPUS, N_IMAGES = PROFILES[PROFILE]
 
 
 def _spark(cpus: str):
@@ -157,6 +153,7 @@ def main() -> None:
             results[cpus] = json.loads(line)
         r8, r32 = results["8"], results["32"]
         eff = (r32["north_star_rows_per_sec"]) / (4 * r8["north_star_rows_per_sec"])
+        s_rows, s_cols, s_pip, s_probes, s_corpus, s_imgs = PROFILES["scaling"]
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(
@@ -164,9 +161,10 @@ def main() -> None:
                 "Same job, same input and seed, run at local[8] (N) and local[32]\n"
                 "(4N) per the sandbox substitute for the N vs 4N executor\n"
                 "criterion (BASELINE.json:2; BASELINE.md).\n\n"
-                "North-star workload: topology kernels (250k edges) + PIP join\n"
-                "(500k points, hot-cell skew + salting) + kNN join (1k probes /\n"
-                "100k corpus) + image tiling invariants (1.5k images).\n\n"
+                f"North-star workload (scaling profile): topology kernels\n"
+                f"({s_rows}x{s_cols} surfaces → {s_rows*s_cols*4} edges) + PIP join\n"
+                f"({s_pip} points, hot-cell skew + salting) + kNN join ({s_probes} probes /\n"
+                f"{s_corpus} corpus) + image tiling invariants ({s_imgs} images).\n\n"
                 "| parallelism | north-star rows | sec | rows/sec |\n"
                 "| --- | --- | --- | --- |\n"
                 f"| local[8] | {r8['north_star_rows']} | {r8['north_star_sec']} | {r8['north_star_rows_per_sec']} |\n"

@@ -35,46 +35,84 @@ from etf_topox_spark.functions.coords import coord_to_int
 DEFAULT_SALT = 16
 
 
+def _pack_segs(xs_list, ys_list) -> bytes:
+    """Serialize a feature's ring segments into one int64 buffer
+    [x1|y1|x2|y2] (coords int-scaled). Binary columns keep the cogroup
+    exchange on primitive Arrow types — Spark 4.1's cogroup Arrow reader
+    segfaults on list-of-struct-of-list columns (observed; the reason the
+    shuffle path ships packed bytes, not nested rings)."""
+    sx1, sy1, sx2, sy2 = [], [], [], []
+    for xs, ys in zip(xs_list, ys_list):
+        xs = np.asarray(xs, np.float64)
+        ys = np.asarray(ys, np.float64)
+        sx1.append(xs[:-1]); sy1.append(ys[:-1])
+        sx2.append(xs[1:]);  sy2.append(ys[1:])
+    arr = np.concatenate(
+        [coord_to_int(np.concatenate(c)) for c in (sx1, sy1, sx2, sy2)]
+    )
+    return arr.astype("<i8").tobytes()
+
+
 def _flatten_polys(polys: pd.DataFrame):
-    """One polygon table per kernel call → flat segment arrays + per-polygon
-    segment offsets (so parity aggregates with reduceat, no Python loops
-    over points)."""
-    segs_x1, segs_y1, segs_x2, segs_y2, bounds = [], [], [], [], [0]
+    """One packed-polygon table per kernel call → flat segment arrays +
+    per-polygon reduceat offsets (no Python loops over points)."""
     feats = polys["feature_id"].to_numpy()
-    for rings in polys["rings"]:
-        n_seg = 0
-        for ring in rings:
-            xs = np.asarray(ring["xs"], np.float64)
-            ys = np.asarray(ring["ys"], np.float64)
-            segs_x1.append(xs[:-1]); segs_y1.append(ys[:-1])
-            segs_x2.append(xs[1:]);  segs_y2.append(ys[1:])
-            n_seg += len(xs) - 1
-        bounds.append(bounds[-1] + n_seg)
+    bufs = [np.frombuffer(b, dtype="<i8").reshape(4, -1) for b in polys["segs"]]
+    counts = np.asarray([b.shape[1] for b in bufs], np.int64)
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
     return (
-        coord_to_int(np.concatenate(segs_x1)),
-        coord_to_int(np.concatenate(segs_y1)),
-        coord_to_int(np.concatenate(segs_x2)),
-        coord_to_int(np.concatenate(segs_y2)),
-        np.asarray(bounds[:-1], np.int64),  # reduceat offsets
+        np.concatenate([b[0] for b in bufs]),
+        np.concatenate([b[1] for b in bufs]),
+        np.concatenate([b[2] for b in bufs]),
+        np.concatenate([b[3] for b in bufs]),
+        offs,
         feats,
     )
 
 
-def _pip_group(pts: pd.DataFrame, polys: pd.DataFrame) -> pd.DataFrame:
-    """Vectorized boundary-inclusive even-odd PIP of all group points vs all
-    group polygons; returns the min-feature winner per contained point."""
-    if len(pts) == 0 or len(polys) == 0:
-        return pd.DataFrame({"point_id": pd.Series(dtype="int64"),
-                             "feature_id": pd.Series(dtype="int64")})
-    x1, y1, x2, y2, offs, feats = _flatten_polys(polys)
-    qx = coord_to_int(pts["x"].to_numpy())
-    qy = coord_to_int(pts["y"].to_numpy())
-    n, m, p = len(qx), len(x1), len(feats)
+PACKED_POLY_SCHEMA = (
+    "feature_id long, xmin double, ymin double, xmax double, ymax double, segs binary"
+)
 
-    out_ids, out_feats = [], []
-    big = np.int64(2**62)
-    for s in range(0, n, 4096):
-        e = min(s + 4096, n)
+
+def pack_features(rings: DataFrame) -> DataFrame:
+    """rings → one row per feature: bbox + packed segment buffer (the flat
+    form both spatial-join strategies and the cogroup exchange use)."""
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        xs_all = [np.asarray(x, np.float64) for x in pdf["xs"]]
+        ys_all = [np.asarray(y, np.float64) for y in pdf["ys"]]
+        return pd.DataFrame(
+            {
+                "feature_id": [key[0]],
+                "xmin": [min(x.min() for x in xs_all)],
+                "ymin": [min(y.min() for y in ys_all)],
+                "xmax": [max(x.max() for x in xs_all)],
+                "ymax": [max(y.max() for y in ys_all)],
+                "segs": [_pack_segs(pdf["xs"], pdf["ys"])],
+            }
+        )
+
+    return rings.groupBy("feature_id").applyInPandas(kernel, PACKED_POLY_SCHEMA)
+
+
+_PIP_BIG = np.int64(2**62)
+
+
+def _pip_winner(qx: np.ndarray, qy: np.ndarray, segs) -> np.ndarray:
+    """Exact boundary-inclusive even-odd PIP of int-scaled query points vs a
+    flattened segment set; returns the min-feature winner per point
+    (_PIP_BIG where not contained). Chunked so the (chunk × m) int64
+    temporaries stay cache-resident. Shared by the cogroup kernel and the
+    broadcast mapInPandas kernel — one residual, two shuffle strategies."""
+    x1, y1, x2, y2, offs, feats = segs
+    n = len(qx)
+    winner = np.full(n, _PIP_BIG, dtype=np.int64)
+    # ~6 temporaries of chunk*m int64: keep them under ~4 MiB total
+    m = max(len(x1), 1)
+    chunk = max(64, min(4096, (4 * 1024 * 1024) // (8 * 6 * m) or 64))
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
         QX = qx[s:e, None]
         QY = qy[s:e, None]
         cross = (x2 - x1)[None, :] * (QY - y1[None, :]) - (y2 - y1)[None, :] * (QX - x1[None, :])
@@ -92,13 +130,121 @@ def _pip_group(pts: pd.DataFrame, polys: pd.DataFrame) -> pd.DataFrame:
         parity = np.add.reduceat(hits.astype(np.int64), offs, axis=1) % 2 == 1
         boundary = np.add.reduceat(on_seg.astype(np.int64), offs, axis=1) > 0
         inside = parity | boundary  # (chunk, p)
-        winner = np.where(inside, feats[None, :], big).min(axis=1)
-        got = winner < big
-        out_ids.append(pts["point_id"].to_numpy()[s:e][got])
-        out_feats.append(winner[got])
+        winner[s:e] = np.where(inside, feats[None, :], _PIP_BIG).min(axis=1)
+    return winner
+
+
+def _pip_group(pts: pd.DataFrame, polys: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized boundary-inclusive even-odd PIP of all group points vs all
+    group polygons; returns the min-feature winner per contained point."""
+    if len(pts) == 0 or len(polys) == 0:
+        return pd.DataFrame({"point_id": pd.Series(dtype="int64"),
+                             "feature_id": pd.Series(dtype="int64")})
+    segs = _flatten_polys(polys)
+    qx = coord_to_int(pts["x"].to_numpy())
+    qy = coord_to_int(pts["y"].to_numpy())
+    winner = _pip_winner(qx, qy, segs)
+    got = winner < _PIP_BIG
     return pd.DataFrame(
-        {"point_id": np.concatenate(out_ids), "feature_id": np.concatenate(out_feats)}
+        {"point_id": pts["point_id"].to_numpy()[got], "feature_id": winner[got]}
     )
+
+
+def _collect_cell_index(rings: DataFrame, res: int):
+    """Driver-side cell→flattened-segments index for the broadcast PIP
+    strategy. Returns {cell: (x1, y1, x2, y2, reduceat_offsets, feats)}
+    with int-scaled coords — the same exact arithmetic as the cogroup
+    kernel, so both strategies are value-identical."""
+    rows = (
+        rings.groupBy("feature_id")
+        .agg(F.collect_list(F.struct("xs", "ys")).alias("rings"))
+        .collect()
+    )
+    per_cell: dict = {}
+    for r in rows:
+        fid = r["feature_id"]
+        segs = []
+        xmin = ymin = np.inf
+        xmax = ymax = -np.inf
+        for ring in r["rings"]:
+            xs = np.asarray(ring["xs"], np.float64)
+            ys = np.asarray(ring["ys"], np.float64)
+            segs.append((coord_to_int(xs[:-1]), coord_to_int(ys[:-1]),
+                         coord_to_int(xs[1:]), coord_to_int(ys[1:])))
+            xmin, xmax = min(xmin, xs.min()), max(xmax, xs.max())
+            ymin, ymax = min(ymin, ys.min()), max(ymax, ys.max())
+        cover = C.bbox_cover(
+            np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax]), res
+        )[0]
+        for cell in cover:
+            per_cell.setdefault(int(cell), []).append((fid, segs))
+    index = {}
+    for cell, plist in per_cell.items():
+        x1s, y1s, x2s, y2s, bounds, feats = [], [], [], [], [0], []
+        for fid, segs in plist:
+            n_seg = 0
+            for sx1, sy1, sx2, sy2 in segs:
+                x1s.append(sx1); y1s.append(sy1); x2s.append(sx2); y2s.append(sy2)
+                n_seg += len(sx1)
+            bounds.append(bounds[-1] + n_seg)
+            feats.append(fid)
+        index[cell] = (
+            np.concatenate(x1s), np.concatenate(y1s),
+            np.concatenate(x2s), np.concatenate(y2s),
+            np.asarray(bounds[:-1], np.int64), np.asarray(feats, np.int64),
+        )
+    return index
+
+
+def pip_join_broadcast(
+    spark: SparkSession,
+    points: DataFrame,  # point_id, x, y
+    rings: DataFrame,   # feature_id, ring_idx, is_exterior, xs, ys
+    res: int = 8,
+) -> DataFrame:
+    """Shuffle-free PIP: the polygon side is a dim table, so broadcast a
+    cell→segments index and evaluate the exact residual per point partition
+    with mapInPandas. No shuffle → no hot-cell skew, no stragglers, and
+    throughput scales with cores/executors (the broadcast half of the north
+    rule's two-stage broadcast/shuffle join; Spark's own BHJ-vs-SMJ choice,
+    lifted to the spatial kernel)."""
+    index = _collect_cell_index(rings, res)
+    bc = spark.sparkContext.broadcast(index)
+
+    def kernel(batches):
+        idx = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qx_f = pdf["x"].to_numpy()
+            qy_f = pdf["y"].to_numpy()
+            cells = C.latlng_to_cell(qx_f, qy_f, res)
+            qx = coord_to_int(qx_f)
+            qy = coord_to_int(qy_f)
+            pid = pdf["point_id"].to_numpy()
+            order = np.argsort(cells, kind="stable")
+            cs = cells[order]
+            starts = np.flatnonzero(np.concatenate(([True], cs[1:] != cs[:-1])))
+            ends = np.concatenate((starts[1:], [len(cs)]))
+            out_ids, out_feats = [], []
+            for s, e in zip(starts, ends):
+                segs = idx.get(int(cs[s]))
+                if segs is None:
+                    continue
+                sel = order[s:e]
+                winner = _pip_winner(qx[sel], qy[sel], segs)
+                got = winner < _PIP_BIG
+                out_ids.append(pid[sel][got])
+                out_feats.append(winner[got])
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "point_id": np.concatenate(out_ids),
+                        "feature_id": np.concatenate(out_feats),
+                    }
+                )
+
+    return points.mapInPandas(kernel, "point_id long, feature_id long")
 
 
 def pip_join(
@@ -108,21 +254,33 @@ def pip_join(
     res: int = 8,
     salt: int = DEFAULT_SALT,
     hot_threshold: int = 8_000,
+    strategy: str = "auto",
+    broadcast_max_vertices: int = 2_000_000,
 ) -> DataFrame:
     """(point_id, feature_id) — winner is the min feature_id among
     boundary-inclusive containers (FIXTURES.md §3 tie rule).
 
-    Skew (J14 / north rule): a recon count over point cells finds hot
+    Strategy (the north rule's two-stage broadcast/shuffle join):
+    - 'broadcast' — polygon side collected to a cell index and broadcast;
+      points stream through mapInPandas with NO shuffle. Chosen
+      automatically when total polygon vertices ≤ broadcast_max_vertices
+      (same decision Spark's planner makes for broadcast-hash joins).
+    - 'shuffle' — both sides shuffled on (cell, salt) into a cogrouped
+      kernel; survives polygon sides too big for any one executor's memory.
+
+    Skew (J14, shuffle path): a recon count over point cells finds hot
     cells; ONLY those are salted (points hashed over `salt` subgroups, the
     polygon side replicated ×salt for those cells alone). Cold cells stay
-    one group — no group-count explosion, no polygon write amplification."""
-    polys = rings.groupBy("feature_id").agg(
-        F.collect_list(F.struct("xs", "ys")).alias("rings"),
-        F.min(F.array_min("xs")).alias("xmin"),
-        F.min(F.array_min("ys")).alias("ymin"),
-        F.max(F.array_max("xs")).alias("xmax"),
-        F.max(F.array_max("ys")).alias("ymax"),
-    )
+    one group — no group-count explosion, no polygon write amplification.
+    The broadcast path needs no salting at all: points never shuffle, so a
+    hot cell is just rows spread over whatever partitions they arrived in."""
+    if strategy == "auto":
+        n_verts = rings.agg(F.sum(F.size("xs"))).collect()[0][0] or 0
+        strategy = "broadcast" if n_verts <= broadcast_max_vertices else "shuffle"
+    if strategy == "broadcast":
+        return pip_join_broadcast(spark, points, rings, res)
+
+    polys = pack_features(rings)
     cover = C.bbox_cover_udf(res)
     poly_cells = polys.withColumn(
         "cell", F.explode(cover("xmin", "ymin", "xmax", "ymax"))
@@ -221,6 +379,142 @@ def _knn_group(k: int):
     return kernel
 
 
+def knn_join_broadcast(
+    spark: SparkSession,
+    probes: DataFrame,  # point_id, x, y
+    corpus: DataFrame,  # point_id, x, y
+    k: int = 5,
+    res: int = 8,
+    levels: tuple[int, ...] = (2, 4),
+) -> DataFrame:
+    """Shuffle-free exact kNN: the corpus is collected into a cell-sorted
+    index, broadcast once, and every probe partition runs the full
+    ring-expansion + certification + brute-force-fallback loop LOCALLY in
+    numpy — one Spark job instead of the shuffle path's per-level
+    join/window chain. Value-identical to knn_join(strategy='shuffle'):
+    same tie rule (order by dist2 then neighbor_id), same certification
+    bound ((level-1)·min cell extent)."""
+    cell_w = 360.0 / (1 << res)
+    cell_h = 180.0 / (1 << res)
+    wmin = min(cell_w, cell_h)
+
+    rows = corpus.select("point_id", "x", "y").collect()
+    nid = np.array([r["point_id"] for r in rows], np.int64)
+    cx = np.array([r["x"] for r in rows], np.float64)
+    cy = np.array([r["y"] for r in rows], np.float64)
+    ccell = C.latlng_to_cell(cx, cy, res)
+    order = np.lexsort((nid, ccell))
+    nid, cx, cy, ccell = nid[order], cx[order], cy[order], ccell[order]
+    ucells = np.unique(ccell)
+    bc = spark.sparkContext.broadcast((ucells, ccell, cx, cy, nid))
+
+    def _topk_block(px, py, qid, gx, gy, gid, k):
+        """Exact top-k of each probe vs the gathered candidate block;
+        returns (query_id, neighbor_id, dist2, rn) arrays, ties by id."""
+        out = []
+        m = max(len(gx), 1)
+        chunk = max(16, min(2048, (4 * 1024 * 1024) // (8 * 3 * m) or 16))
+        for s in range(0, len(px), chunk):
+            e = min(s + chunk, len(px))
+            dx = px[s:e, None] - gx[None, :]
+            dy = py[s:e, None] - gy[None, :]
+            d2 = dx * dx + dy * dy
+            kk = min(k, d2.shape[1])
+            if d2.shape[1] > kk:
+                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+                kth = d2[np.arange(e - s)[:, None], part].max(axis=1)
+                rows_, cols = np.nonzero(d2 <= kth[:, None])
+            else:
+                rows_, cols = np.nonzero(np.ones_like(d2, np.bool_))
+            out.append((qid[s:e][rows_], gid[cols], d2[rows_, cols]))
+        q = np.concatenate([o[0] for o in out])
+        n_ = np.concatenate([o[1] for o in out])
+        d_ = np.concatenate([o[2] for o in out])
+        # rank by (query, dist2, neighbor_id) and keep rn <= k
+        oo = np.lexsort((n_, d_, q))
+        q, n_, d_ = q[oo], n_[oo], d_[oo]
+        starts = np.flatnonzero(np.concatenate(([True], q[1:] != q[:-1])))
+        rn = np.arange(len(q)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(q)])))) + 1
+        keep = rn <= k
+        return q[keep], n_[keep], d_[keep], rn[keep]
+
+    def kernel(batches):
+        ucells_, ccell_, cx_, cy_, nid_ = bc.value
+
+        def gather(cells):
+            """Corpus rows whose cell is in `cells` (sorted searchsorted)."""
+            cells = cells[cells >= 0]
+            lo = np.searchsorted(ccell_, cells, side="left")
+            hi = np.searchsorted(ccell_, cells, side="right")
+            if not len(lo):
+                return np.empty(0, np.int64)
+            return np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) \
+                if (hi - lo).sum() else np.empty(0, np.int64)
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            px = pdf["x"].to_numpy()
+            py = pdf["y"].to_numpy()
+            qid = pdf["point_id"].to_numpy()
+            pcell = C.latlng_to_cell(px, py, res)
+            porder = np.argsort(pcell, kind="stable")
+            pc = pcell[porder]
+            starts = np.flatnonzero(np.concatenate(([True], pc[1:] != pc[:-1])))
+            ends = np.concatenate((starts[1:], [len(pc)]))
+            outs = []
+            for s, e in zip(starts, ends):
+                sel = porder[s:e]
+                # sort the group by query_id so searchsorted-based
+                # certification grouping below is valid
+                sel = sel[np.argsort(qid[sel], kind="stable")]
+                gpx, gpy, gqid = px[sel], py[sel], qid[sel]
+                pending = np.ones(len(sel), np.bool_)
+                for lvl in levels:
+                    if not pending.any():
+                        break
+                    ring = C.cell_ring(np.array([pc[s]]), lvl)[0]
+                    cand = gather(np.unique(ring))
+                    if len(cand) < k:
+                        continue
+                    q, n_, d_, rn = _topk_block(
+                        gpx[pending], gpy[pending], gqid[pending],
+                        cx_[cand], cy_[cand], nid_[cand], k,
+                    )
+                    # certified: found k AND kth distance within the ring's
+                    # guaranteed-covered radius
+                    safe_r2 = ((lvl - 1) * wmin) ** 2
+                    cnt = np.bincount(
+                        np.searchsorted(gqid[pending], q), minlength=pending.sum()
+                    )
+                    dk = np.full(int(pending.sum()), np.inf)
+                    np.maximum.at(dk, np.searchsorted(gqid[pending], q), d_)
+                    ok = (cnt >= k) & (dk <= safe_r2)
+                    if ok.any():
+                        keep = ok[np.searchsorted(gqid[pending], q)]
+                        outs.append((q[keep], n_[keep], d_[keep], rn[keep]))
+                    idx_pending = np.flatnonzero(pending)
+                    pending[idx_pending[ok]] = False
+                if pending.any():  # exact brute-force fallback
+                    q, n_, d_, rn = _topk_block(
+                        gpx[pending], gpy[pending], gqid[pending], cx_, cy_, nid_, k
+                    )
+                    outs.append((q, n_, d_, rn))
+            if outs:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate([o[0] for o in outs]),
+                        "neighbor_id": np.concatenate([o[1] for o in outs]),
+                        "dist2": np.concatenate([o[2] for o in outs]),
+                        "rn": np.concatenate([o[3] for o in outs]).astype(np.int32),
+                    }
+                )
+
+    return probes.mapInPandas(
+        kernel, "query_id long, neighbor_id long, dist2 double, rn int"
+    )
+
+
 def knn_join(
     spark: SparkSession,
     probes: DataFrame,  # point_id, x, y
@@ -231,6 +525,8 @@ def knn_join(
     # so starting there only burns a pass; 2 then 4 certifies ~everything
     levels: tuple[int, ...] = (2, 4),
     salt: int = DEFAULT_SALT,
+    strategy: str = "auto",
+    broadcast_max_corpus: int = 5_000_000,
 ) -> DataFrame:
     """(query_id, neighbor_id, dist2, rn) with rn ≤ k, ties broken by
     neighbor_id. Exact (certification + brute-force fallback).
@@ -242,7 +538,19 @@ def knn_join(
     for those cells alone). Salting everything would multiply the per-group
     kernel overhead across thousands of cold cells; salting nothing leaves
     one straggler task holding the hot cell. The global merge is unchanged
-    because each (probe, corpus point) pair still meets exactly once."""
+    because each (probe, corpus point) pair still meets exactly once.
+
+    Strategy mirrors pip_join: 'broadcast' (corpus ≤ broadcast_max_corpus
+    rows → cell-sorted index broadcast, probes mapInPandas, zero shuffles)
+    or 'shuffle' (the salted cogroup path above, for corpora too big to
+    broadcast)."""
+    if strategy == "auto":
+        strategy = (
+            "broadcast" if corpus.count() <= broadcast_max_corpus else "shuffle"
+        )
+    if strategy == "broadcast":
+        return knn_join_broadcast(spark, probes, corpus, k=k, res=res, levels=levels)
+
     cell_w = 360.0 / (1 << res)
     cell_h = 180.0 / (1 << res)
     wmin = min(cell_w, cell_h)

@@ -40,4 +40,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # ship the package zip to Python workers (by-reference pickles; see
+    # registry._ship_package) — idempotent per context
+    from etf_topox_spark.registry import _ship_package
+
+    _ship_package()
+    return spark
