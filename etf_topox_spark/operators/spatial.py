@@ -398,120 +398,226 @@ def knn_join_broadcast(
     cell_h = 180.0 / (1 << res)
     wmin = min(cell_w, cell_h)
 
-    rows = corpus.select("point_id", "x", "y").collect()
-    nid = np.array([r["point_id"] for r in rows], np.int64)
-    cx = np.array([r["x"] for r in rows], np.float64)
-    cy = np.array([r["y"] for r in rows], np.float64)
+    cdf = corpus.select("point_id", "x", "y").toPandas()  # Arrow path, no per-Row loop
+    nid = cdf["point_id"].to_numpy(np.int64)
+    cx = cdf["x"].to_numpy(np.float64)
+    cy = cdf["y"].to_numpy(np.float64)
     ccell = C.latlng_to_cell(cx, cy, res)
     order = np.lexsort((nid, ccell))
     nid, cx, cy, ccell = nid[order], cx[order], cy[order], ccell[order]
     ucells = np.unique(ccell)
-    bc = spark.sparkContext.broadcast((ucells, ccell, cx, cy, nid))
-
-    def _topk_block(px, py, qid, gx, gy, gid, k):
-        """Exact top-k of each probe vs the gathered candidate block;
-        returns (query_id, neighbor_id, dist2, rn) arrays, ties by id."""
-        out = []
-        m = max(len(gx), 1)
-        chunk = max(16, min(2048, (4 * 1024 * 1024) // (8 * 3 * m) or 16))
-        for s in range(0, len(px), chunk):
-            e = min(s + chunk, len(px))
-            dx = px[s:e, None] - gx[None, :]
-            dy = py[s:e, None] - gy[None, :]
-            d2 = dx * dx + dy * dy
-            kk = min(k, d2.shape[1])
-            if d2.shape[1] > kk:
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                kth = d2[np.arange(e - s)[:, None], part].max(axis=1)
-                rows_, cols = np.nonzero(d2 <= kth[:, None])
-            else:
-                rows_, cols = np.nonzero(np.ones_like(d2, np.bool_))
-            out.append((qid[s:e][rows_], gid[cols], d2[rows_, cols]))
-        q = np.concatenate([o[0] for o in out])
-        n_ = np.concatenate([o[1] for o in out])
-        d_ = np.concatenate([o[2] for o in out])
-        # rank by (query, dist2, neighbor_id) and keep rn <= k
-        oo = np.lexsort((n_, d_, q))
-        q, n_, d_ = q[oo], n_[oo], d_[oo]
-        starts = np.flatnonzero(np.concatenate(([True], q[1:] != q[:-1])))
-        rn = np.arange(len(q)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(q)])))) + 1
-        keep = rn <= k
-        return q[keep], n_[keep], d_[keep], rn[keep]
+    # adaptive sub-resolution index for dense (hot) cells: a probe in a
+    # 100k-point cell would otherwise top-k against ALL of them (~5 MB of
+    # DRAM traffic per probe — measured to collapse multi-core scaling).
+    # Points of each dense cell are re-indexed SUB_RES_DELTA levels finer;
+    # the kernel ring-searches the fine grid first and certifies against
+    # min(ring radius, distance to the coarse cell boundary).
+    dense: dict = {}
+    lo_all = np.searchsorted(ccell, ucells, side="left")
+    hi_all = np.searchsorted(ccell, ucells, side="right")
+    for cell, lo, hi in zip(ucells, lo_all, hi_all):
+        if hi - lo <= KNN_DENSE_THRESHOLD:
+            continue
+        # deepen until the densest subcell is actually split — a
+        # point-mass cluster (e.g. the fixtures' 0.008° hot spot) sails
+        # straight through any fixed sub-resolution
+        delta = KNN_SUB_RES_DELTA
+        while delta < 30 - res:
+            sub = C.latlng_to_cell(cx[lo:hi], cy[lo:hi], res + delta)
+            _, counts = np.unique(sub, return_counts=True)
+            if counts.max() <= KNN_DENSE_THRESHOLD:
+                break
+            delta += 3
+        so = np.lexsort((nid[lo:hi], sub))
+        dense[int(cell)] = (
+            sub[so], cx[lo:hi][so], cy[lo:hi][so], nid[lo:hi][so], delta
+        )
+    bc = spark.sparkContext.broadcast((ucells, ccell, cx, cy, nid, dense))
 
     def kernel(batches):
-        ucells_, ccell_, cx_, cy_, nid_ = bc.value
-
-        def gather(cells):
-            """Corpus rows whose cell is in `cells` (sorted searchsorted)."""
-            cells = cells[cells >= 0]
-            lo = np.searchsorted(ccell_, cells, side="left")
-            hi = np.searchsorted(ccell_, cells, side="right")
-            if not len(lo):
-                return np.empty(0, np.int64)
-            return np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) \
-                if (hi - lo).sum() else np.empty(0, np.int64)
-
+        idx = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            px = pdf["x"].to_numpy()
-            py = pdf["y"].to_numpy()
-            qid = pdf["point_id"].to_numpy()
-            pcell = C.latlng_to_cell(px, py, res)
-            porder = np.argsort(pcell, kind="stable")
-            pc = pcell[porder]
-            starts = np.flatnonzero(np.concatenate(([True], pc[1:] != pc[:-1])))
-            ends = np.concatenate((starts[1:], [len(pc)]))
-            outs = []
-            for s, e in zip(starts, ends):
-                sel = porder[s:e]
-                # sort the group by query_id so searchsorted-based
-                # certification grouping below is valid
-                sel = sel[np.argsort(qid[sel], kind="stable")]
-                gpx, gpy, gqid = px[sel], py[sel], qid[sel]
-                pending = np.ones(len(sel), np.bool_)
-                for lvl in levels:
-                    if not pending.any():
-                        break
-                    ring = C.cell_ring(np.array([pc[s]]), lvl)[0]
-                    cand = gather(np.unique(ring))
-                    if len(cand) < k:
-                        continue
-                    q, n_, d_, rn = _topk_block(
-                        gpx[pending], gpy[pending], gqid[pending],
-                        cx_[cand], cy_[cand], nid_[cand], k,
-                    )
-                    # certified: found k AND kth distance within the ring's
-                    # guaranteed-covered radius
-                    safe_r2 = ((lvl - 1) * wmin) ** 2
-                    cnt = np.bincount(
-                        np.searchsorted(gqid[pending], q), minlength=pending.sum()
-                    )
-                    dk = np.full(int(pending.sum()), np.inf)
-                    np.maximum.at(dk, np.searchsorted(gqid[pending], q), d_)
-                    ok = (cnt >= k) & (dk <= safe_r2)
-                    if ok.any():
-                        keep = ok[np.searchsorted(gqid[pending], q)]
-                        outs.append((q[keep], n_[keep], d_[keep], rn[keep]))
-                    idx_pending = np.flatnonzero(pending)
-                    pending[idx_pending[ok]] = False
-                if pending.any():  # exact brute-force fallback
-                    q, n_, d_, rn = _topk_block(
-                        gpx[pending], gpy[pending], gqid[pending], cx_, cy_, nid_, k
-                    )
-                    outs.append((q, n_, d_, rn))
-            if outs:
-                yield pd.DataFrame(
-                    {
-                        "query_id": np.concatenate([o[0] for o in outs]),
-                        "neighbor_id": np.concatenate([o[1] for o in outs]),
-                        "dist2": np.concatenate([o[2] for o in outs]),
-                        "rn": np.concatenate([o[3] for o in outs]).astype(np.int32),
-                    }
-                )
+            out = _knn_partition(pdf, idx, k, res, levels, wmin)
+            if out is not None:
+                yield out
 
     return probes.mapInPandas(
         kernel, "query_id long, neighbor_id long, dist2 double, rn int"
+    )
+
+
+def _knn_topk_block(px, py, qid, gx, gy, gid, k):
+    """Exact top-k of each probe vs the gathered candidate block;
+    returns (query_id, neighbor_id, dist2, rn) arrays, ties by id."""
+    out = []
+    m = max(len(gx), 1)
+    chunk = max(16, min(2048, (4 * 1024 * 1024) // (8 * 3 * m) or 16))
+    for s in range(0, len(px), chunk):
+        e = min(s + chunk, len(px))
+        dx = px[s:e, None] - gx[None, :]
+        dy = py[s:e, None] - gy[None, :]
+        d2 = dx * dx + dy * dy
+        kk = min(k, d2.shape[1])
+        if d2.shape[1] > kk:
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            kth = d2[np.arange(e - s)[:, None], part].max(axis=1)
+            rows_, cols = np.nonzero(d2 <= kth[:, None])
+        else:
+            rows_, cols = np.nonzero(np.ones_like(d2, np.bool_))
+        out.append((qid[s:e][rows_], gid[cols], d2[rows_, cols]))
+    q = np.concatenate([o[0] for o in out])
+    n_ = np.concatenate([o[1] for o in out])
+    d_ = np.concatenate([o[2] for o in out])
+    # rank by (query, dist2, neighbor_id) and keep rn <= k
+    oo = np.lexsort((n_, d_, q))
+    q, n_, d_ = q[oo], n_[oo], d_[oo]
+    starts = np.flatnonzero(np.concatenate(([True], q[1:] != q[:-1])))
+    rn = np.arange(len(q)) - np.repeat(starts, np.diff(np.concatenate((starts, [len(q)])))) + 1
+    keep = rn <= k
+    return q[keep], n_[keep], d_[keep], rn[keep]
+
+
+KNN_DENSE_THRESHOLD = 4_000
+KNN_SUB_RES_DELTA = 5  # dense cells re-indexed 32× finer per axis
+
+
+def _knn_fine_pass(gpx, gpy, gqid, fine, k, res, wmin, cell):
+    """Dense-cell pre-pass: ring-search the cell's sub-resolution index.
+    Returns (outs, certified_mask). Certification radius is capped by each
+    probe's distance to the coarse-cell boundary — the fine index only
+    holds THIS cell's points, so beyond that distance the gathered set is
+    not guaranteed complete."""
+    fcc, fcx, fcy, fnid, delta = fine
+    res2 = res + delta
+    wmin2 = wmin / (1 << delta)
+    lonmin, latmin, lonmax, latmax = C.cell_bounds(np.array([cell]))
+    dbound = np.minimum.reduce(
+        [gpx - lonmin[0], lonmax[0] - gpx, gpy - latmin[0], latmax[0] - gpy]
+    )
+    pfine = C.latlng_to_cell(gpx, gpy, res2)
+    forder = np.argsort(pfine, kind="stable")
+    pf = pfine[forder]
+    fstarts = np.flatnonzero(np.concatenate(([True], pf[1:] != pf[:-1])))
+    fends = np.concatenate((fstarts[1:], [len(pf)]))
+    outs = []
+    certified = np.zeros(len(gpx), np.bool_)
+    for fs, fe in zip(fstarts, fends):
+        fsel = forder[fs:fe]
+        fsel = fsel[np.argsort(gqid[fsel], kind="stable")]
+        sqid = gqid[fsel]
+        pend = np.ones(len(fsel), np.bool_)
+        for lvl in (2, 4, 8):
+            if not pend.any():
+                break
+            ring = C.cell_ring(np.array([pf[fs]]), lvl)[0]
+            cells = np.unique(ring)
+            cells = cells[cells >= 0]
+            lo = np.searchsorted(fcc, cells, side="left")
+            hi = np.searchsorted(fcc, cells, side="right")
+            if not (hi - lo).sum():
+                continue
+            cand = np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)])
+            if len(cand) < k:
+                continue
+            q, n_, d_, rn = _knn_topk_block(
+                gpx[fsel][pend], gpy[fsel][pend], sqid[pend],
+                fcx[cand], fcy[cand], fnid[cand], k,
+            )
+            spend = sqid[pend]
+            pos = np.searchsorted(spend, q)
+            cnt = np.bincount(pos, minlength=len(spend))
+            dk = np.full(len(spend), -np.inf)
+            np.maximum.at(dk, pos, d_)
+            safe_r = np.minimum((lvl - 1) * wmin2, dbound[fsel][pend])
+            ok = (cnt >= k) & (dk <= safe_r * safe_r)
+            if ok.any():
+                keep = ok[pos]
+                outs.append((q[keep], n_[keep], d_[keep], rn[keep]))
+            idx_p = np.flatnonzero(pend)
+            pend[idx_p[ok]] = False
+        certified[fsel[~pend]] = True
+    return outs, certified
+
+
+def _knn_partition(pdf, idx, k, res, levels, wmin):
+    """One probe partition vs the broadcast corpus index — module-level so
+    it can be unit-profiled outside Spark."""
+    ucells_, ccell_, cx_, cy_, nid_, dense_ = idx
+    if len(pdf) == 0:
+        return None
+
+    def gather(cells):
+        """Corpus rows whose cell is in `cells` (sorted searchsorted)."""
+        cells = cells[cells >= 0]
+        lo = np.searchsorted(ccell_, cells, side="left")
+        hi = np.searchsorted(ccell_, cells, side="right")
+        if not len(lo):
+            return np.empty(0, np.int64)
+        return np.concatenate([np.arange(a, b) for a, b in zip(lo, hi)]) \
+            if (hi - lo).sum() else np.empty(0, np.int64)
+
+    px = pdf["x"].to_numpy()
+    py = pdf["y"].to_numpy()
+    qid = pdf["point_id"].to_numpy()
+    pcell = C.latlng_to_cell(px, py, res)
+    porder = np.argsort(pcell, kind="stable")
+    pc = pcell[porder]
+    starts = np.flatnonzero(np.concatenate(([True], pc[1:] != pc[:-1])))
+    ends = np.concatenate((starts[1:], [len(pc)]))
+    outs = []
+    for s, e in zip(starts, ends):
+        sel = porder[s:e]
+        # sort the group by query_id so searchsorted-based certification
+        # grouping below is valid
+        sel = sel[np.argsort(qid[sel], kind="stable")]
+        gpx, gpy, gqid = px[sel], py[sel], qid[sel]
+        pending = np.ones(len(sel), np.bool_)
+        fine = dense_.get(int(pc[s]))
+        if fine is not None:
+            fouts, cert = _knn_fine_pass(gpx, gpy, gqid, fine, k, res, wmin, pc[s])
+            outs.extend(fouts)
+            pending[cert] = False
+        for lvl in levels:
+            if not pending.any():
+                break
+            ring = C.cell_ring(np.array([pc[s]]), lvl)[0]
+            cand = gather(np.unique(ring))
+            if len(cand) < k:
+                continue
+            q, n_, d_, rn = _knn_topk_block(
+                gpx[pending], gpy[pending], gqid[pending],
+                cx_[cand], cy_[cand], nid_[cand], k,
+            )
+            # certified: found k AND kth distance within the ring's
+            # guaranteed-covered radius
+            safe_r2 = ((lvl - 1) * wmin) ** 2
+            cnt = np.bincount(
+                np.searchsorted(gqid[pending], q), minlength=pending.sum()
+            )
+            # -inf so maximum.at yields the true kth distance; probes with
+            # no rows stay -inf but are rejected by cnt >= k
+            dk = np.full(int(pending.sum()), -np.inf)
+            np.maximum.at(dk, np.searchsorted(gqid[pending], q), d_)
+            ok = (cnt >= k) & (dk <= safe_r2)
+            if ok.any():
+                keep = ok[np.searchsorted(gqid[pending], q)]
+                outs.append((q[keep], n_[keep], d_[keep], rn[keep]))
+            idx_pending = np.flatnonzero(pending)
+            pending[idx_pending[ok]] = False
+        if pending.any():  # exact brute-force fallback
+            q, n_, d_, rn = _knn_topk_block(
+                gpx[pending], gpy[pending], gqid[pending], cx_, cy_, nid_, k
+            )
+            outs.append((q, n_, d_, rn))
+    if not outs:
+        return None
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate([o[0] for o in outs]),
+            "neighbor_id": np.concatenate([o[1] for o in outs]),
+            "dist2": np.concatenate([o[2] for o in outs]),
+            "rn": np.concatenate([o[3] for o in outs]).astype(np.int32),
+        }
     )
 
 

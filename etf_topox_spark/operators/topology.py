@@ -323,25 +323,26 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
         src = pdf["src"].to_numpy()
         dst = pdf["dst"].to_numpy()
         nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-        parent = np.arange(len(nodes), dtype=np.int64)
-
-        def find(a: int) -> int:
-            while parent[a] != a:
-                parent[a] = parent[parent[a]]
-                a = parent[a]
-            return a
-
         si = inv[: len(src)]
         di = inv[len(src):]
-        for a, b in zip(si.tolist(), di.tolist()):
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                if nodes[ra] < nodes[rb]:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        roots = nodes[np.array([find(i) for i in range(len(nodes))], dtype=np.int64)]
-        out = pd.DataFrame({"node": nodes, "root": roots})
+        # vectorized min-label propagation with full pointer-jumping
+        # compression per round (hash-to-min in numpy; O(log n) rounds, no
+        # per-edge Python loop)
+        labels = np.arange(len(nodes), dtype=np.int64)
+        while True:
+            prev = labels
+            nxt = labels.copy()
+            np.minimum.at(nxt, si, labels[di])
+            np.minimum.at(nxt, di, labels[si])
+            while True:
+                jumped = nxt[nxt]
+                if np.array_equal(jumped, nxt):
+                    break
+                nxt = jumped
+            if np.array_equal(nxt, prev):
+                break
+            labels = nxt
+        out = pd.DataFrame({"node": nodes, "root": nodes[labels]})
         return spark.createDataFrame(out)
     prev_sig = None
     prev_df = None
