@@ -1,0 +1,112 @@
+"""Physical-plan quality gates (SURVEY.md §4; task brief: '.explain the
+plan and iterate until it's the plan you'd want').
+
+These pin the properties that make the engine scale: filters reach the
+parquet scan, scans prune columns, small dims broadcast, relational
+expressions stay inside whole-stage codegen, and no per-row Python UDF
+(BatchEvalPython) appears anywhere (BASELINE.json:15 'no per-row Python').
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etf_topox_spark.registry import QUERIES, load_all_operators
+
+load_all_operators()
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(QUERIES["filter_project"](spark, SF))
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not an empty list
+    assert "PushedFilters: []" not in plan
+
+
+def test_column_pruning(spark):
+    plan = _plan(QUERIES["filter_project"](spark, SF))
+    # ReadSchema must not include the wide comment column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema, plan
+    assert "l_comment" not in read_schema[0]
+
+
+def test_dim_join_broadcasts(spark):
+    plan = _plan(QUERIES["join_broadcast_dims"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_relational_plans_stay_jvm_side(spark):
+    # BatchEvalPython = row-at-a-time Python UDF; banned everywhere.
+    # Relational/scalar/window/agg queries must also avoid Arrow UDFs —
+    # they are pure Catalyst expressions.
+    for name in (
+        "q1_pricing_summary", "filter_project", "join_fact_fact",
+        "window_rank", "agg_stats", "string_funcs", "datetime_funcs",
+        "sessionize", "topk_per_group", "set_intersect",
+    ):
+        df = QUERIES[name](spark, SF)
+        # collect() executes THIS DataFrame's QueryExecution so AQE
+        # finalizes it (count() would plan a separate aggregation)
+        df.collect()
+        plan = _plan(df)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        # '*(n) Op' markers in simple mode = operator inside a
+        # WholeStageCodegen span
+        simple = _plan(df, "simple")
+        assert "*(" in simple, (name, simple)
+
+
+def test_no_per_row_python_udf_anywhere(spark):
+    # X6 absence (COVERAGE.md): every query's plan is free of
+    # row-at-a-time Python eval; Arrow kernels (MapInPandas/FlatMapGroups)
+    # are the sanctioned Python path.
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name.startswith("streaming_"):
+            continue  # streaming queries need a streaming harness
+        try:
+            plan = _plan(fn(spark, SF), "extended")
+        except Exception:
+            continue  # non-plan failures are other tests' business
+        # BatchEvalPythonUDTF is Spark's node name for UDTF eval; with
+        # spark.sql.execution.pythonUDTF.arrow.enabled (set in session.py)
+        # it becomes ArrowEvalPythonUDTF. Only scalar row-at-a-time eval
+        # (bare BatchEvalPython) is banned.
+        if "BatchEvalPython " in plan or "BatchEvalPython(" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
+
+
+def test_lineage_resume_join_broadcasts(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from etf_topox_spark.plans.lineage import checkpoint_write, resume_filter
+    from etf_topox_spark.sources.tables import load_table as T
+
+    ev = T(spark, SF, "events").select(F.col("event_id").alias("cell"), "value")
+    checkpoint_write(ev.limit(100), str(tmp_path), "s1", cell_col="cell")
+    plan = _plan(resume_filter(ev, spark, str(tmp_path), "s1"))
+    # the tiny manifest must broadcast; the fact side must not shuffle
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("qname", ["spatial_pip_join", "spatial_knn_join"])
+def test_spatial_broadcast_strategy_is_shuffle_free(spark, qname):
+    plan = _plan(QUERIES[qname](spark, SF))
+    # auto strategy resolves to broadcast at fixture scale: the probe/point
+    # side flows straight into the Arrow kernel with no Exchange
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning" not in plan
