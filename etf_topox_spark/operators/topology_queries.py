@@ -6,9 +6,12 @@ Two kinds of entries:
   the same mosaic's directed edges are generated in SQL and classified by
   the same undirected-count rules, so the driver value-hash checks the
   edge-hash shuffle semantics end to end.
-- `topology_errors_*` — the complete error pipeline per defect fixture
-  (rows-only for the driver; the exact checks live in tests/test_topology.py
-  against the single-process numpy oracle).
+- `topology_errors_*` — the complete error pipeline per defect fixture.
+  Every fixture now carries a full DuckDB oracle that RE-DERIVES the error
+  rows in SQL (undirected-count rules, shoelace orientation, cross-product
+  segment crossing, recursive-CTE connected components) — no hard-coded
+  goldens. The per-edge exact checks additionally live in
+  tests/test_topology.py against the single-process numpy oracle.
 """
 
 from __future__ import annotations
@@ -221,10 +224,184 @@ errors AS (
 {_ERRORS_AGG}
 """
 
+# hole_defect: feature 27 (row 3, col 3) carries a CW interior ring with no
+# filling surface. Its und keys have n=1 → EMPTY_INTERIOR anchored at the
+# hole's min vertex; orientation (SQL shoelace) and boundary branches are
+# included and provably empty for this fixture.
+_HOLE_FID = min(_ROWS * _COLS - 1, 3 * _COLS + 3)
+_HOLE_DEFECT_SQL = f"""
+WITH feat AS ({_GRID_FEAT}),
+square_edges AS (SELECT fid, 0 AS ring_idx, * EXCLUDE (fid) FROM ({_SQUARE_EDGES})),
+hole AS (
+  SELECT {_HOLE_FID} AS fid, 1 AS ring_idx,
+         CASE i WHEN 0 THEN x0 + 0.25 WHEN 1 THEN x0 + 0.25 WHEN 2 THEN x0 + 0.75 ELSE x0 + 0.75 END AS x1,
+         CASE i WHEN 0 THEN y0 + 0.25 WHEN 1 THEN y0 + 0.75 WHEN 2 THEN y0 + 0.75 ELSE y0 + 0.25 END AS y1,
+         CASE i WHEN 0 THEN x0 + 0.25 WHEN 1 THEN x0 + 0.75 WHEN 2 THEN x0 + 0.75 ELSE x0 + 0.25 END AS x2,
+         CASE i WHEN 0 THEN y0 + 0.75 WHEN 1 THEN y0 + 0.75 WHEN 2 THEN y0 + 0.25 ELSE y0 + 0.25 END AS y2
+  FROM feat, (SELECT unnest([0, 1, 2, 3]) AS i) WHERE fid = {_HOLE_FID}
+),
+edges AS (SELECT * FROM square_edges UNION ALL SELECT * FROM hole),
+{_BOUNDARY_ERRORS_FROM_EDGES},
+ring_area AS (
+  SELECT fid, ring_idx, SUM(x1 * y2 - x2 * y1) AS area2,
+         MIN(LEAST(x1, x2)) AS rmin_x, MIN(LEAST(y1, y2)) AS rmin_y
+  FROM edges GROUP BY 1, 2
+),
+orient AS (
+  SELECT 'RING_ORIENTATION' AS error_code, rmin_x AS x, rmin_y AS y
+  FROM ring_area
+  WHERE (ring_idx = 0 AND area2 <= 0) OR (ring_idx > 0 AND area2 >= 0)
+),
+hole_und AS (
+  SELECT h.fid, h.ring_idx, u.n
+  FROM hole h JOIN und u
+    ON LEAST(h.x1, h.x2) = u.ax AND GREATEST(h.x1, h.x2) = u.bx
+   AND CASE WHEN h.x1 < h.x2 OR (h.x1 = h.x2 AND h.y1 <= h.y2) THEN h.y1 ELSE h.y2 END = u.ay
+   AND CASE WHEN h.x1 < h.x2 OR (h.x1 = h.x2 AND h.y1 <= h.y2) THEN h.y2 ELSE h.y1 END = u.by
+),
+empty_int AS (
+  SELECT 'EMPTY_INTERIOR' AS error_code, r.rmin_x AS x, r.rmin_y AS y
+  FROM (SELECT fid, ring_idx, MAX(n) AS max_n FROM hole_und GROUP BY 1, 2) e
+  JOIN ring_area r ON r.fid = e.fid AND r.ring_idx = e.ring_idx
+  WHERE e.max_n = 1
+),
+all_errors AS (
+  SELECT * FROM errors UNION ALL SELECT * FROM orient UNION ALL SELECT * FROM empty_int
+)
+SELECT 'theme0' AS theme, error_code, COUNT(*) AS n,
+       MIN(x) AS min_x, MIN(y) AS min_y
+FROM all_errors GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# proper segment crossing (interiors intersect at one point): strict
+# opposite-side tests via cross products, intersection point from the
+# standard parametric formula — exact for these half-integer fixtures.
+_CROSS_PAIRS = """
+cross_pairs AS (
+  SELECT a.fid AS fa, b.fid AS fb, a.ring_idx AS ra, b.ring_idx AS rb,
+         a.x1 + ((b.x1 - a.x1) * (b.y2 - b.y1) - (b.y1 - a.y1) * (b.x2 - b.x1))
+              / ((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1))
+              * (a.x2 - a.x1) AS px,
+         a.y1 + ((b.x1 - a.x1) * (b.y2 - b.y1) - (b.y1 - a.y1) * (b.x2 - b.x1))
+              / ((a.x2 - a.x1) * (b.y2 - b.y1) - (a.y2 - a.y1) * (b.x2 - b.x1))
+              * (a.y2 - a.y1) AS py
+  FROM ids a JOIN ids b ON a.id < b.id
+  WHERE ((a.x2 - a.x1) * (b.y1 - a.y1) - (a.y2 - a.y1) * (b.x1 - a.x1))
+      * ((a.x2 - a.x1) * (b.y2 - a.y1) - (a.y2 - a.y1) * (b.x2 - a.x1)) < 0
+    AND ((b.x2 - b.x1) * (a.y1 - b.y1) - (b.y2 - b.y1) * (a.x1 - b.x1))
+      * ((b.x2 - b.x1) * (a.y2 - b.y1) - (b.y2 - b.y1) * (a.x2 - b.x1)) < 0
+)
+"""
+
+# self_intersect: feature 0 is a bowtie — proper self-cross at the square
+# center (RING_SELF_INTERSECTION), degenerate shoelace area
+# (RING_ORIENTATION), and its (1,1)→(1,0) edge runs the SAME direction as
+# the right neighbor's left edge (OVERLAPPING_BOUNDARY).
+_SELF_INTERSECT_SQL = f"""
+WITH feat AS ({_GRID_FEAT}),
+base_edges AS ({_SQUARE_EDGES}),
+bow AS (
+  SELECT 0 AS fid,
+         CASE i WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 1.0 ELSE 0.0 END AS x1,
+         CASE i WHEN 0 THEN 0.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.0 ELSE 1.0 END AS y1,
+         CASE i WHEN 0 THEN 1.0 WHEN 1 THEN 1.0 WHEN 2 THEN 0.0 ELSE 0.0 END AS x2,
+         CASE i WHEN 0 THEN 1.0 WHEN 1 THEN 0.0 WHEN 2 THEN 1.0 ELSE 0.0 END AS y2
+  FROM (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+edges AS (
+  SELECT * FROM base_edges WHERE fid <> 0
+  UNION ALL SELECT * FROM bow
+),
+{_BOUNDARY_ERRORS_FROM_EDGES},
+ring_area AS (
+  SELECT fid, SUM(x1 * y2 - x2 * y1) AS area2,
+         MIN(LEAST(x1, x2)) AS rmin_x, MIN(LEAST(y1, y2)) AS rmin_y
+  FROM edges GROUP BY 1
+),
+orient AS (
+  SELECT 'RING_ORIENTATION' AS error_code, rmin_x AS x, rmin_y AS y
+  FROM ring_area WHERE area2 <= 0
+),
+ids AS (SELECT ROW_NUMBER() OVER (ORDER BY fid, x1, y1, x2, y2) AS id,
+        0 AS ring_idx, * FROM edges),
+{_CROSS_PAIRS},
+self_x AS (
+  SELECT CASE WHEN fa = fb THEN 'RING_SELF_INTERSECTION'
+              ELSE 'EDGE_INTERSECTION' END AS error_code, px AS x, py AS y
+  FROM cross_pairs
+),
+all_errors AS (
+  SELECT * FROM errors UNION ALL SELECT * FROM orient UNION ALL SELECT * FROM self_x
+)
+SELECT 'theme0' AS theme, error_code, COUNT(*) AS n,
+       MIN(x) AS min_x, MIN(y) AS min_y
+FROM all_errors GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# overlap_partial: a unit square at (1.5, 1.5) — each of its 4 edges
+# properly crosses one interior grid line, and each crossing involves the
+# TWO directed grid edges sharing that und key → 8 EDGE_INTERSECTION rows.
+# The square also shares NO und key with the grid (it only crosses), so the
+# shared-edge component graph leaves it stray → 1 FREE_STANDING_SURFACE.
+_OVERLAP_PARTIAL_SQL = f"""
+WITH RECURSIVE feat AS (
+  {_GRID_FEAT}
+  UNION ALL SELECT {_ROWS * _COLS}, 1.5, 1.5
+),
+edges AS ({_SQUARE_EDGES}),
+{_BOUNDARY_ERRORS_FROM_EDGES},
+ids AS (SELECT ROW_NUMBER() OVER (ORDER BY fid, x1, y1, x2, y2) AS id,
+        0 AS ring_idx, * FROM edges),
+{_CROSS_PAIRS},
+cross_err AS (
+  SELECT CASE WHEN fa = fb THEN 'RING_SELF_INTERSECTION'
+              ELSE 'EDGE_INTERSECTION' END AS error_code, px AS x, py AS y
+  FROM cross_pairs
+),
+und_feats AS (
+  SELECT LEAST(x1, x2) AS ax,
+         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y1 ELSE y2 END AS ay,
+         GREATEST(x1, x2) AS bx,
+         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y2 ELSE y1 END AS by,
+         LIST(DISTINCT fid) AS fids
+  FROM edges GROUP BY 1, 2, 3, 4 HAVING COUNT(DISTINCT fid) >= 2
+),
+pairs AS (
+  SELECT u.fids[CAST(1 + (i.range // len(u.fids)) AS BIGINT)] AS src,
+         u.fids[CAST(1 + (i.range % len(u.fids)) AS BIGINT)] AS dst
+  FROM und_feats u, range(0, 100) i
+  WHERE i.range < len(u.fids) * len(u.fids)
+    AND (i.range // len(u.fids)) <> (i.range % len(u.fids))
+),
+walk(node, lbl) AS (
+  SELECT fid, fid FROM feat
+  UNION
+  SELECT p.dst, w.lbl FROM walk w JOIN pairs p ON p.src = w.node
+),
+labels AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node),
+sizes AS (SELECT root, COUNT(*) AS sz FROM labels GROUP BY root),
+main AS (SELECT root FROM sizes ORDER BY sz DESC, root LIMIT 1),
+stray_err AS (
+  SELECT 'FREE_STANDING_SURFACE' AS error_code, f.x0 AS x, f.y0 AS y
+  FROM labels l JOIN feat f ON f.fid = l.node
+  WHERE l.root <> (SELECT root FROM main)
+),
+all_errors AS (
+  SELECT * FROM errors UNION ALL SELECT * FROM cross_err
+  UNION ALL SELECT * FROM stray_err
+)
+SELECT 'theme0' AS theme, error_code, COUNT(*) AS n,
+       MIN(x) AS min_x, MIN(y) AS min_y
+FROM all_errors GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
 _ERROR_ORACLES = {
     "dup_boundary": _DUP_BOUNDARY_SQL,
     "zero_edge": _ZERO_EDGE_SQL,
     "free_standing": _FREE_STANDING_SQL,
+    "hole_defect": _HOLE_DEFECT_SQL,
+    "self_intersect": _SELF_INTERSECT_SQL,
+    "overlap_partial": _OVERLAP_PARTIAL_SQL,
 }
 
 for _d in ("dup_boundary", "overlap_partial", "self_intersect",
