@@ -70,7 +70,27 @@ def topology_geojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A8: grouped-map UDAF — per-theme error histogram ------------------------
 
-@query("topology_error_histogram")
+from etf_topox_spark.operators.topology_queries import ERROR_HISTOGRAM_SQL
+
+_UDTF_RING_EDGES_SQL = """
+WITH feat AS (
+  SELECT r.range * 4 + c.range AS fid,
+         CAST(c.range AS DOUBLE) AS x0, CAST(r.range AS DOUBLE) AS y0
+  FROM range(0, 4) r, range(0, 4) c
+),
+edges AS (
+  SELECT fid AS feature_id, CAST(i AS INTEGER) AS seq,
+         CASE i WHEN 0 THEN x0     WHEN 1 THEN x0 + 1 WHEN 2 THEN x0 + 1 ELSE x0     END AS x1,
+         CASE i WHEN 0 THEN y0     WHEN 1 THEN y0     WHEN 2 THEN y0 + 1 ELSE y0 + 1 END AS y1,
+         CASE i WHEN 0 THEN x0 + 1 WHEN 1 THEN x0 + 1 WHEN 2 THEN x0     ELSE x0     END AS x2,
+         CASE i WHEN 0 THEN y0     WHEN 1 THEN y0 + 1 WHEN 2 THEN y0 + 1 ELSE y0     END AS y2
+  FROM feat, (SELECT unnest([0, 1, 2, 3]) AS i)
+)
+SELECT feature_id, seq, x1, y1, x2, y2 FROM edges ORDER BY feature_id, seq
+"""
+
+
+@query("topology_error_histogram", oracle=ERROR_HISTOGRAM_SQL)
 def topology_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     rings = surface_mosaic(spark, rows=8, cols=8, defect="self_intersect")
     errors = validate_topology(spark, rings)
@@ -95,7 +115,48 @@ def topology_error_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F9: cell-index function family as a query surface ------------------------
 
-@query("cell_index_ops")
+def _morton_spread_sql(v: str) -> str:
+    """SQL twin of functions.cells._spread_bits32 (mask constants are the
+    decimal forms of 0x0000FFFF0000FFFF … 0x5555555555555555)."""
+    s = v
+    for shift, mask in (
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    ):
+        s = f"((({s}) | (({s}) << {shift})) & {mask})"
+    return s
+
+
+def _cell_index_oracle() -> str:
+    from etf_topox_spark.sources.points import points_sql
+
+    sx = _morton_spread_sql("xi")
+    sy = _morton_spread_sql("yi")
+    px = _morton_spread_sql("xi >> 4")
+    py = _morton_spread_sql("yi >> 4")
+    res8 = 8 << 58
+    res4 = 4 << 58
+    return f"""
+WITH pts AS ({points_sql(2_000)}),
+xy AS (
+  SELECT point_id,
+         LEAST(GREATEST(CAST(FLOOR((x + 180.0) / 360.0 * 256) AS BIGINT), 0), 255) AS xi,
+         LEAST(GREATEST(CAST(FLOOR((y + 90.0) / 180.0 * 256) AS BIGINT), 0), 255) AS yi
+  FROM pts
+)
+SELECT point_id,
+       {res8} | ({sx} | ({sy} << 1)) AS cell8,
+       {res4} | ({px} | ({py} << 1)) AS cell4,
+       -- k=1 ring drops the clamped-out lat row at the grid edge
+       CAST(9 - CASE WHEN yi = 0 OR yi = 255 THEN 3 ELSE 0 END AS INTEGER) AS ring1_size
+FROM xy ORDER BY point_id
+"""
+
+
+@query("cell_index_ops", oracle=_cell_index_oracle())
 def cell_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etf_topox_spark.functions import cells as C
     from etf_topox_spark.sources.points import synthetic_points
@@ -126,7 +187,7 @@ def register_ring_edges_udtf(spark: SparkSession):
     return RingEdges
 
 
-@query("udtf_ring_edges")
+@query("udtf_ring_edges", oracle=_UDTF_RING_EDGES_SQL)
 def udtf_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_ring_edges_udtf(spark)
     rings = surface_mosaic(spark, rows=4, cols=4, defect="valid_mosaic")

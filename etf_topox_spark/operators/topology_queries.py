@@ -297,7 +297,7 @@ cross_pairs AS (
 # center (RING_SELF_INTERSECTION), degenerate shoelace area
 # (RING_ORIENTATION), and its (1,1)→(1,0) edge runs the SAME direction as
 # the right neighbor's left edge (OVERLAPPING_BOUNDARY).
-_SELF_INTERSECT_SQL = f"""
+_SELF_INTERSECT_BODY = f"""
 WITH feat AS ({_GRID_FEAT}),
 base_edges AS ({_SQUARE_EDGES}),
 bow AS (
@@ -333,8 +333,19 @@ self_x AS (
 all_errors AS (
   SELECT * FROM errors UNION ALL SELECT * FROM orient UNION ALL SELECT * FROM self_x
 )
+"""
+
+_SELF_INTERSECT_SQL = f"""{_SELF_INTERSECT_BODY}
 SELECT 'theme0' AS theme, error_code, COUNT(*) AS n,
        MIN(x) AS min_x, MIN(y) AS min_y
+FROM all_errors GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# A8 histogram over the same fixture: share = n / per-theme total (one
+# int/int float64 division — bit-identical to pandas' counts/counts.sum())
+ERROR_HISTOGRAM_SQL = f"""{_SELF_INTERSECT_BODY}
+SELECT 'theme0' AS theme, error_code, COUNT(*) AS n,
+       CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
 FROM all_errors GROUP BY 1, 2 ORDER BY 1, 2
 """
 
