@@ -315,11 +315,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     Beyond') converges in O(log n) rounds of bounded joins with no
     driver-side graph — the 100 TB path."""
     e = pairs.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    e = e.localCheckpoint(eager=True)
-    n_pairs = e.count()
-    if n_pairs <= DRIVER_CC_MAX_PAIRS:
-        spark = pairs.sparkSession
-        pdf = e.toPandas()
+    # one action decides the strategy AND fetches the driver-path data: the
+    # limit caps driver memory, and an overflow row flips to the
+    # distributed star loop (no separate count + collect round trips)
+    spark = pairs.sparkSession
+    pdf = e.limit(DRIVER_CC_MAX_PAIRS + 1).toPandas()
+    if len(pdf) <= DRIVER_CC_MAX_PAIRS:
         src = pdf["src"].to_numpy()
         dst = pdf["dst"].to_numpy()
         nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
@@ -344,6 +345,8 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
             labels = nxt
         out = pd.DataFrame({"node": nodes, "root": nodes[labels]})
         return spark.createDataFrame(out)
+    # distributed path: truncate lineage once before iterating
+    e = e.localCheckpoint(eager=True)
     prev_sig = None
     prev_df = None
     for _ in range(max_rounds):
