@@ -55,13 +55,116 @@ def geojson_errors(errors: DataFrame, rings: DataFrame) -> DataFrame:
     return geo.select("theme", "feature_id", feature.alias("feature_json"))
 
 
-@query("topology_error_report")
+def _overlap_err_rows_body() -> str:
+    """Shared WITH-body: per-row overlap_partial errors with feature refs
+    (the families other than EDGE_INTERSECTION / FREE_STANDING provably
+    emit nothing for this fixture — covered by the aggregate oracle on
+    topology_errors_overlap_partial)."""
+    from etf_topox_spark.operators.topology_queries import (
+        _CROSS_PAIRS,
+        _GRID_FEAT,
+        _SQUARE_EDGES,
+    )
+
+    return f"""
+WITH RECURSIVE feat AS (
+  {_GRID_FEAT}
+  UNION ALL SELECT 64, 1.5, 1.5
+),
+edges AS ({_SQUARE_EDGES}),
+ids AS (SELECT ROW_NUMBER() OVER (ORDER BY fid, x1, y1, x2, y2) AS id,
+        0 AS ring_idx, * FROM edges),
+{_CROSS_PAIRS},
+und_feats AS (
+  SELECT LEAST(x1, x2) AS ax,
+         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y1 ELSE y2 END AS ay,
+         GREATEST(x1, x2) AS bx,
+         CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y2 ELSE y1 END AS by,
+         LIST(DISTINCT fid) AS fids
+  FROM edges GROUP BY 1, 2, 3, 4 HAVING COUNT(DISTINCT fid) >= 2
+),
+cc_pairs AS (
+  SELECT u.fids[CAST(1 + (i.range // len(u.fids)) AS BIGINT)] AS src,
+         u.fids[CAST(1 + (i.range % len(u.fids)) AS BIGINT)] AS dst
+  FROM und_feats u, range(0, 100) i
+  WHERE i.range < len(u.fids) * len(u.fids)
+    AND (i.range // len(u.fids)) <> (i.range % len(u.fids))
+),
+walk(node, lbl) AS (
+  SELECT fid, fid FROM feat
+  UNION
+  SELECT p.dst, w.lbl FROM walk w JOIN cc_pairs p ON p.src = w.node
+),
+labels AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node),
+sizes AS (SELECT root, COUNT(*) AS sz FROM labels GROUP BY root),
+main AS (SELECT root FROM sizes ORDER BY sz DESC, root LIMIT 1),
+err_rows AS (
+  SELECT 'EDGE_INTERSECTION' AS error_code, px AS x, py AS y,
+         LEAST(fa, fb) AS feature_a, GREATEST(fa, fb) AS feature_b
+  FROM cross_pairs
+  UNION ALL
+  SELECT 'FREE_STANDING_SURFACE', f.x0, f.y0, l.node, l.node
+  FROM labels l JOIN feat f ON f.fid = l.node
+  WHERE l.root <> (SELECT root FROM main)
+)
+"""
+
+
+def _error_report_oracle() -> str:
+    """JSON report lines with the same key order and double formatting as
+    Spark's to_json."""
+    return f"""{_overlap_err_rows_body()}
+SELECT '{{"theme":"theme0","error_code":"' || error_code
+       || '","x":' || CAST(x AS VARCHAR)
+       || ',"y":' || CAST(y AS VARCHAR)
+       || ',"feature_a":' || CAST(feature_a AS VARCHAR)
+       || ',"feature_b":' || CAST(feature_b AS VARCHAR) || '}}' AS report_line
+FROM err_rows ORDER BY report_line
+"""
+
+
+def _geojson_oracle() -> str:
+    """GeoJSON Feature per erroneous feature (grouped by the error's
+    feature_a, codes = sorted distinct), ring = the fixture's CCW unit
+    square — string-built to byte-match Spark's to_json output."""
+
+    def pt(x: str, y: str) -> str:
+        return f"'[' || CAST({x} AS VARCHAR) || ',' || CAST({y} AS VARCHAR) || ']'"
+
+    ring = " || ',' || ".join(
+        [
+            pt("g.x0", "g.y0"),
+            pt("g.x0 + 1", "g.y0"),
+            pt("g.x0 + 1", "g.y0 + 1"),
+            pt("g.x0", "g.y0 + 1"),
+            pt("g.x0", "g.y0"),
+        ]
+    )
+    return f"""{_overlap_err_rows_body()},
+bad AS (
+  SELECT feature_a AS fid,
+         LIST(DISTINCT error_code ORDER BY error_code) AS codes
+  FROM err_rows GROUP BY 1
+),
+geo AS (SELECT b.fid, b.codes, f.x0, f.y0 FROM bad b JOIN feat f ON f.fid = b.fid)
+SELECT 'theme0' AS theme, g.fid AS feature_id,
+       '{{"type":"Feature","geometry":{{"type":"Polygon","coordinates":[['
+       || {ring}
+       || ']]}},"properties":{{"feature_id":' || CAST(g.fid AS VARCHAR)
+       || ',"theme":"theme0","codes":["'
+       || array_to_string(g.codes, '","')
+       || '"]}}}}' AS feature_json
+FROM geo g ORDER BY feature_id
+"""
+
+
+@query("topology_error_report", oracle=_error_report_oracle())
 def topology_error_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rings = surface_mosaic(spark, rows=8, cols=8, defect="overlap_partial")
     return error_report_json(validate_topology(spark, rings)).orderBy("report_line")
 
 
-@query("topology_geojson_export")
+@query("topology_geojson_export", oracle=_geojson_oracle())
 def topology_geojson_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     rings = surface_mosaic(spark, rows=8, cols=8, defect="overlap_partial")
     errors = validate_topology(spark, rings)
