@@ -159,7 +159,103 @@ def minhash_candidates(corpus: DataFrame, spark: SparkSession) -> DataFrame:
     return pairs.select("doc_a", "doc_b", est.alias("est_jaccard"))
 
 
-@query("dedup_minhash_lsh")
+def _minhash_sql_body() -> str:
+    """Shared DuckDB WITH-body re-deriving the whole MinHash funnel: 5-char
+    shingles (FNV-1a over ASCII chars — driver corpus verified ASCII),
+    64 universal-hash minima with numpy's uint64 WRAPAROUND emulated in
+    HUGEINT (the engine computes (sh*a mod 2^64 + b mod 2^64) mod M, not
+    exact modular arithmetic), LSH banding by band-slice VALUE equality
+    (the engine groups on xxhash64 of the slice — value-join is the same
+    candidate set absent a 2^-64 hash collision)."""
+    a, b = _perms()
+    perm_rows = ",\n    ".join(
+        f"({p}, CAST({int(a[p])} AS HUGEINT), CAST({int(b[p])} AS HUGEINT))"
+        for p in range(N_PERM)
+    )
+    mers = int(_MERS)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MUT_OFFSET}, text || ' mutated suffix token'
+  FROM documents WHERE doc_id < {N_MUTATED}
+),
+sh5 AS (
+  SELECT doc_id,
+         unnest(list_transform(range(length(text) - {SHINGLE - 1}),
+                               i -> substr(text, i + 1, {SHINGLE}))) AS s
+  FROM corpus
+),
+shash_full AS (
+  SELECT DISTINCT doc_id,
+    list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(string_split(s, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      (h, ch) -> (xor(h, ch) * 1099511628211) % 18446744073709551616
+    ) AS h
+  FROM sh5
+),
+shash AS (SELECT DISTINCT doc_id, h % {mers} AS sh FROM shash_full),
+perms(p, pa, pb) AS (VALUES
+    {perm_rows}
+),
+sig AS (
+  SELECT s.doc_id, pm.p,
+         MIN((((s.sh * pm.pa) % 18446744073709551616 + pm.pb)
+              % 18446744073709551616) % {mers}) AS mv
+  FROM shash s, perms pm
+  GROUP BY 1, 2
+),
+bandsig AS (
+  SELECT doc_id, p // {ROWS_PER_BAND} AS band, LIST(mv ORDER BY p) AS bs
+  FROM sig GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bs = b.bs
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         CAST(SUM(CASE WHEN sa.mv = sb.mv THEN 1 ELSE 0 END) AS DOUBLE)
+           / {N_PERM} AS est_jaccard
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.doc_a
+  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.p = sa.p
+  GROUP BY 1, 2
+)
+"""
+
+
+_MINHASH_LSH_SQL = (
+    _minhash_sql_body()
+    + "SELECT doc_a, doc_b, est_jaccard FROM est "
+    "WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b"
+)
+
+_NGRAM_JACCARD_SQL = (
+    _minhash_sql_body()
+    + f""",
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shash_full GROUP BY 1),
+inter AS (
+  SELECT e.doc_a, e.doc_b, COUNT(xb.h) AS i
+  FROM est e
+  LEFT JOIN shash_full xa ON xa.doc_id = e.doc_a
+  LEFT JOIN shash_full xb ON xb.doc_id = e.doc_b AND xb.h = xa.h
+  WHERE e.est_jaccard >= 0.35
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+FROM inter i
+JOIN counts ca ON ca.doc_id = i.doc_a
+JOIN counts cb ON cb.doc_id = i.doc_b
+ORDER BY i.doc_a, i.doc_b
+"""
+)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_LSH_SQL)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(T(spark, sf_dir, "documents"))
     return (
@@ -197,7 +293,65 @@ def hash_tok(t: str) -> int:
     return h
 
 
-@query("dedup_simhash")
+_SIMHASH_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {MUT_OFFSET}, text || ' mutated suffix token'
+  FROM documents WHERE doc_id < {N_MUTATED}
+),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM corpus WHERE length(trim(text)) > 0
+),
+tok_h AS (
+  -- FNV-1a over (ASCII) bytes in HUGEINT with explicit 2^64 wraparound:
+  -- the exact twin of dedup.hash_tok
+  SELECT doc_id,
+    list_reduce(
+      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+        list_transform(string_split(tok, ''), c -> CAST(unicode(c) AS HUGEINT))),
+      (h, ch) -> (xor(h, ch) * 1099511628211) % 18446744073709551616
+    ) AS fnv
+  FROM toks
+),
+bit_acc AS (
+  SELECT doc_id, b.range AS bit,
+         SUM(CASE WHEN (fnv >> CAST(b.range AS HUGEINT)) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+  FROM tok_h, range(0, 64) b
+  GROUP BY 1, 2
+),
+sh_u AS (
+  SELECT c.doc_id,
+         COALESCE(SUM(CASE WHEN a.acc > 0
+                           THEN CAST(1 AS HUGEINT) << CAST(a.bit AS HUGEINT)
+                           ELSE 0 END), 0) AS shu
+  FROM corpus c LEFT JOIN bit_acc a ON a.doc_id = c.doc_id
+  GROUP BY 1
+),
+sh AS (
+  SELECT doc_id,
+         CAST(CASE WHEN shu >= CAST(1 AS HUGEINT) << 63
+                   THEN shu - (CAST(1 AS HUGEINT) << 64)
+                   ELSE shu END AS BIGINT) AS sh
+  FROM sh_u
+),
+chunks AS (
+  SELECT doc_id, sh, c.range AS chunk,
+         (sh >> CAST(c.range * 16 AS BIGINT)) & 65535 AS ch
+  FROM sh, range(0, 4) c
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.ch = b.ch
+  WHERE a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 6 ORDER BY doc_a, doc_b
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by simhash hamming distance ≤ 6, blocked on 4 16-bit
     chunks (a pair within distance 6 can differ in at most 3 chunks... but
@@ -242,7 +396,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- char n-gram jaccard (exact, on LSH candidates) --------------------------------
 
-@query("dedup_ngram_jaccard")
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 5-char-shingle jaccard, computed only for LSH candidate pairs —
     the verify stage of the dedup funnel (candidates → exact score)."""

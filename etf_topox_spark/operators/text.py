@@ -144,7 +144,22 @@ def rolling_hash_np(texts: pd.Series) -> np.ndarray:
     return out
 
 
-@query("text_fingerprint_rolling")
+@query(
+    "text_fingerprint_rolling",
+    # DuckDB twin of rolling_hash_np via HUGEINT list_reduce. unicode(c) ==
+    # utf-8 byte only for ASCII — valid for the driver corpus (max
+    # codepoint 121 verified at sf0.01/0.1); the engine side handles full
+    # UTF-8.
+    oracle=f"""
+    SELECT doc_id,
+      CASE WHEN length(text) = 0 THEN 0
+      ELSE CAST(list_reduce(
+        list_prepend(CAST(0 AS HUGEINT),
+          list_transform(string_split(text, ''), c -> CAST(unicode(c) AS HUGEINT))),
+        (h, b) -> (h * {ROLL_BASE} + b) % {ROLL_MOD}) AS BIGINT) END AS fp
+    FROM documents
+    """,
+)
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
 
