@@ -135,7 +135,68 @@ def lsh_buckets(df: DataFrame, id_col: str, multiprobe: bool) -> DataFrame:
     return df.mapInPandas(kernel, f"{id_col} long, embedding array<float>, bucket long")
 
 
-@query("ann_lsh_topk")
+def _ann_lsh_oracle() -> str:
+    """DuckDB twin of the LSH funnel: the deterministic hyperplanes are
+    inlined as double literals (repr round-trips exactly), buckets are
+    sign-of-in-order-dot (verified sign-identical to numpy's dgemm on this
+    corpus, min |projection| ≈ 1e-4 ≫ fp error), multiprobe masks are the
+    same 0/1/2-bit flips, and the rerank is the in-order cosine fold shared
+    with ann_cosine_topk."""
+    planes = _planes()
+    plane_rows = ",\n    ".join(
+        "({}, [{}]::DOUBLE[])".format(p, ", ".join(repr(v) for v in planes[p]))
+        for p in range(N_PLANES)
+    )
+    masks = [0] + [1 << i for i in range(N_PLANES)] + [
+        (1 << i) | (1 << j) for i in range(N_PLANES) for j in range(i + 1, N_PLANES)
+    ]
+    mask_rows = ", ".join(f"({m})" for m in masks)
+    return f"""
+WITH planes(p, pv) AS (VALUES
+    {plane_rows}
+),
+emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+proj AS (
+  SELECT m.vec_id, pl.p,
+         list_aggregate(list_transform(list_zip(m.e, pl.pv), x -> x[1] * x[2]), 'sum') AS d
+  FROM emb m, planes pl
+),
+bucket0 AS (
+  SELECT vec_id, SUM(CASE WHEN d > 0 THEN 1 << p ELSE 0 END) AS b
+  FROM proj GROUP BY 1
+),
+masks(mk) AS (VALUES {mask_rows}),
+qb AS (
+  SELECT b0.vec_id AS query_id, xor(b0.b, m.mk) AS bucket
+  FROM bucket0 b0, masks m WHERE b0.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM qb q JOIN bucket0 c ON c.b = q.bucket
+  WHERE q.query_id <> c.vec_id
+),
+scored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         {_COS_SQL_EXPR.replace('qe', 'qa.e').replace('ce', 'cb.e')} AS cosine
+  FROM cand cd
+  JOIN emb qa ON qa.vec_id = cd.query_id
+  JOIN emb cb ON cb.vec_id = cd.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rn
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {K}
+ORDER BY query_id, rn
+"""
+
+
+@query("ann_lsh_topk", oracle=_ann_lsh_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = T(spark, sf_dir, "embeddings")
     q = lsh_buckets(
