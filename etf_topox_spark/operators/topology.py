@@ -304,6 +304,40 @@ def _small_star(e: DataFrame) -> DataFrame:
 DRIVER_CC_MAX_PAIRS = 5_000_000
 
 
+def connected_components_local(pairs: DataFrame) -> pd.DataFrame | None:
+    """Driver-path CC: returns a pandas (node, root) labeling, or None when
+    the deduped pair set exceeds DRIVER_CC_MAX_PAIRS (callers then take the
+    distributed star loop). One Spark action: the limit caps driver memory
+    and the overflow row flips the strategy."""
+    e = pairs.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    pdf = e.limit(DRIVER_CC_MAX_PAIRS + 1).toPandas()
+    if len(pdf) > DRIVER_CC_MAX_PAIRS:
+        return None
+    src = pdf["src"].to_numpy()
+    dst = pdf["dst"].to_numpy()
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si = inv[: len(src)]
+    di = inv[len(src):]
+    # vectorized min-label propagation with full pointer-jumping
+    # compression per round (hash-to-min in numpy; O(log n) rounds, no
+    # per-edge Python loop)
+    labels = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = labels
+        nxt = labels.copy()
+        np.minimum.at(nxt, si, labels[di])
+        np.minimum.at(nxt, di, labels[si])
+        while True:
+            jumped = nxt[nxt]
+            if np.array_equal(jumped, nxt):
+                break
+            nxt = jumped
+        if np.array_equal(nxt, prev):
+            break
+        labels = nxt
+    return pd.DataFrame({"node": nodes, "root": nodes[labels]})
+
+
 def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     """pairs(src, dst) undirected → (node, root) with root = component min.
 
@@ -314,37 +348,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = 30) -> DataFrame:
     algorithm: Kiveris et al., 'Connected Components in MapReduce and
     Beyond') converges in O(log n) rounds of bounded joins with no
     driver-side graph — the 100 TB path."""
+    local = connected_components_local(pairs)
+    if local is not None:
+        return pairs.sparkSession.createDataFrame(local)
     e = pairs.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    # one action decides the strategy AND fetches the driver-path data: the
-    # limit caps driver memory, and an overflow row flips to the
-    # distributed star loop (no separate count + collect round trips)
-    spark = pairs.sparkSession
-    pdf = e.limit(DRIVER_CC_MAX_PAIRS + 1).toPandas()
-    if len(pdf) <= DRIVER_CC_MAX_PAIRS:
-        src = pdf["src"].to_numpy()
-        dst = pdf["dst"].to_numpy()
-        nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
-        si = inv[: len(src)]
-        di = inv[len(src):]
-        # vectorized min-label propagation with full pointer-jumping
-        # compression per round (hash-to-min in numpy; O(log n) rounds, no
-        # per-edge Python loop)
-        labels = np.arange(len(nodes), dtype=np.int64)
-        while True:
-            prev = labels
-            nxt = labels.copy()
-            np.minimum.at(nxt, si, labels[di])
-            np.minimum.at(nxt, di, labels[si])
-            while True:
-                jumped = nxt[nxt]
-                if np.array_equal(jumped, nxt):
-                    break
-                nxt = jumped
-            if np.array_equal(nxt, prev):
-                break
-            labels = nxt
-        out = pd.DataFrame({"node": nodes, "root": nodes[labels]})
-        return spark.createDataFrame(out)
     # distributed path: truncate lineage once before iterating
     e = e.localCheckpoint(eager=True)
     prev_sig = None
@@ -383,35 +390,60 @@ def free_standing_errors(
     # per theme: isolate via theme-scoped node ids? themes are few; loop-free
     # approach: run CC on (theme, src, dst) by packing theme into the id is
     # overkill here — feature_ids are globally unique in this engine.
-    roots = connected_components(pairs.select("src", "dst"))
-    labeled = (
-        feats.join(roots, feats.feature_id == roots.node, "left")
-        .select(
-            "theme",
-            "feature_id",
-            F.coalesce("root", "feature_id").alias("root"),
+    spark = stats.sparkSession
+    local = connected_components_local(pairs.select("src", "dst"))
+    if local is not None:
+        # CC fit on the driver → finish the tiny label algebra there too
+        # (comp sizes, per-theme main root, stray set) instead of a chain
+        # of small-shuffle Spark jobs
+        fpdf = feats.toPandas()
+        m = fpdf.merge(
+            local.rename(columns={"node": "feature_id"}), on="feature_id", how="left"
         )
-    )
-    comp_sizes = labeled.groupBy("theme", "root").agg(F.count(F.lit(1)).alias("sz"))
-    main = (
-        comp_sizes.withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("theme").orderBy(F.col("sz").desc(), F.col("root"))
-            ),
+        m["root"] = m["root"].fillna(m["feature_id"]).astype(np.int64)
+        sizes = m.groupby(["theme", "root"]).size().reset_index(name="sz")
+        main_rows = (
+            sizes.sort_values(["theme", "sz", "root"], ascending=[True, False, True])
+            .groupby("theme", as_index=False)
+            .first()[["theme", "root"]]
+            .rename(columns={"root": "main_root"})
         )
-        .filter(F.col("rk") == 1)
-        .select("theme", F.col("root").alias("main_root"))
-    )
-    stray = (
-        labeled.join(main, "theme")
-        .filter(F.col("root") != F.col("main_root"))
-        .select("theme", "feature_id")
-    )
+        stray_pdf = m.merge(main_rows, on="theme")
+        stray_pdf = stray_pdf[stray_pdf["root"] != stray_pdf["main_root"]][
+            ["theme", "feature_id"]
+        ]
+        stray = spark.createDataFrame(stray_pdf, "theme string, feature_id long")
+    else:
+        roots = connected_components(pairs.select("src", "dst"))
+        labeled = (
+            feats.join(roots, feats.feature_id == roots.node, "left")
+            .select(
+                "theme",
+                "feature_id",
+                F.coalesce("root", "feature_id").alias("root"),
+            )
+        )
+        comp_sizes = labeled.groupBy("theme", "root").agg(F.count(F.lit(1)).alias("sz"))
+        main = (
+            comp_sizes.withColumn(
+                "rk",
+                F.row_number().over(
+                    Window.partitionBy("theme").orderBy(F.col("sz").desc(), F.col("root"))
+                ),
+            )
+            .filter(F.col("rk") == 1)
+            .select("theme", F.col("root").alias("main_root"))
+        )
+        stray = (
+            labeled.join(main, "theme")
+            .filter(F.col("root") != F.col("main_root"))
+            .select("theme", "feature_id")
+        )
     anchor = meta.filter(F.col("is_exterior")).groupBy("theme", "feature_id").agg(
         F.min("min_x").alias("x"), F.min("min_y").alias("y")
     )
-    return stray.join(anchor, ["theme", "feature_id"]).select(
+    # stray is (nearly always) tiny relative to the anchor table
+    return F.broadcast(stray).join(anchor, ["theme", "feature_id"]).select(
         "theme",
         F.lit(codes.FREE_STANDING_SURFACE).alias("error_code"),
         "x",
