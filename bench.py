@@ -161,18 +161,28 @@ def run_suite(cpus: str) -> dict:
 def main() -> None:
     if "--scaling" in sys.argv:
         cpu_levels = os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8,32").split(",")
+        trials = int(os.environ.get("SPARK_GRAFT_SCALING_TRIALS", "2"))
         results = {}
         for cpus in cpu_levels:
-            env = dict(os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_BENCH_PROFILE="scaling")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--json-only"],
-                env=env,
-                capture_output=True,
-                text=True,
-                timeout=3600,
-            )
-            line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-            results[cpus] = json.loads(line)
+            best = None
+            for _ in range(trials):
+                env = dict(
+                    os.environ, SPARK_GRAFT_CPUS=cpus, SPARK_GRAFT_BENCH_PROFILE="scaling"
+                )
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--json-only"],
+                    env=env,
+                    capture_output=True,
+                    text=True,
+                    timeout=3600,
+                )
+                line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+                r = json.loads(line)
+                # best-of-N damps the box's ±15% run-to-run noise; same
+                # trial count at every level keeps the comparison fair
+                if best is None or r["north_star_rows_per_sec"] > best["north_star_rows_per_sec"]:
+                    best = r
+            results[cpus] = best
 
         def eff(lo: str, hi: str) -> float:
             ratio = int(hi) / int(lo)
@@ -193,7 +203,9 @@ def main() -> None:
                 "No real cluster in this sandbox, so the north rule's N-vs-4N\n"
                 "executor criterion is evidenced by the same job, same input and\n"
                 "seed, at multiple local[k] parallelism levels (task instruction;\n"
-                "BASELINE.json:2). Efficiency(N→4N) = rows/s@4N / (4 × rows/s@N).\n\n"
+                "BASELINE.json:2). Efficiency(N→4N) = rows/s@4N / (4 × rows/s@N).\n"
+                f"Each level reports the best of {trials} trials (the box has\n"
+                "±15% run-to-run noise; same trial count at every level).\n\n"
                 f"North-star workload (scaling profile): topology kernels\n"
                 f"({s_rows}x{s_cols} surfaces → {s_rows*s_cols*4} edges) + PIP join\n"
                 f"({s_pip} points, hot-cell skew, broadcast strategy) + kNN join\n"
