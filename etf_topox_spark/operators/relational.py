@@ -470,3 +470,16 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_nationkey")
     )
+
+
+# --- SQL-string entry point (SURVEY.md §3.3) ---------------------------------
+# The SAME ANSI text runs on Spark (via temp views) and DuckDB — no oracle
+# twin that could drift.
+
+from etf_topox_spark.sql import ANSI_NATION_BALANCES, register_views  # noqa: E402
+
+
+@query("sql_entrypoint_nation_balances", oracle=ANSI_NATION_BALANCES)
+def sql_entrypoint_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(ANSI_NATION_BALANCES)

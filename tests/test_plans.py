@@ -110,3 +110,20 @@ def test_spatial_broadcast_strategy_is_shuffle_free(spark, qname):
     # side flows straight into the Arrow kernel with no Exchange
     assert "MapInPandas" in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_sql_entrypoint_udfs(spark):
+    """SURVEY §3.3: kernels callable from pure SQL text."""
+    import numpy as np
+
+    from etf_topox_spark.functions import cells as C
+    from etf_topox_spark.sql import register_views
+
+    register_views(spark, SF)
+    row = spark.sql(
+        "SELECT cell_of(1.25, 2.5) AS c, cell_parent(cell_of(1.25, 2.5)) AS p"
+    ).collect()[0]
+    expect_c = int(C.latlng_to_cell(np.array([1.25]), np.array([2.5]), 8)[0])
+    expect_p = int(C.cell_to_parent(np.array([expect_c]), 4)[0])
+    assert row["c"] == expect_c
+    assert row["p"] == expect_p
