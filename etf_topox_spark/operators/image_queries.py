@@ -106,3 +106,51 @@ def raster_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(spark, centers, rings).select(
         F.col("point_id").alias("tile_id"), "feature_id"
     )
+
+
+# --- image near-dup dedup via perceptual hash (training-data op × image axis) --
+
+N_DUP_IMAGES = 50
+DUP_PREFIX = "dup_"
+
+
+@query("image_dedup_phash")
+def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by phash hamming distance ≤ 4, blocked on
+    4×16-bit hash chunks (the simhash blocking scheme applied to the image
+    axis). The corpus plants exact copies of the first N_DUP_IMAGES images
+    under new ids — those pairs MUST surface with hamming 0 (pytest pins
+    this); visually-near gradients may add more pairs deterministically.
+    Rows-only for the driver: phash comes from the engine's numpy decoder,
+    which SQL cannot replay."""
+    base = synthetic_images(spark, 400)
+    dups = (
+        base.filter(F.substring("image_id", -6, 6).cast("int") < N_DUP_IMAGES)
+        .withColumn("image_id", F.concat(F.lit(DUP_PREFIX), F.col("image_id")))
+    )
+    corpus = base.unionByName(dups).select("image_id", "phash")
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("phash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+        )
+        for c in range(4)
+    ]
+    chunks = corpus.select(
+        "image_id", "phash", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select("image_id", "phash", F.col("cc.chunk").alias("chunk"), F.col("cc.ch").alias("ch"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(b, ["chunk", "ch"])
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["img_a", "img_b"])
+        .filter(F.col("hamming") <= 4)
+        .orderBy("img_a", "img_b")
+    )

@@ -68,3 +68,22 @@ def test_tiling_invariants_spark(spark):
     got = inv.sort_values("image_id").n_tiles.to_numpy()
     expect = np.tile([4, 12, 12], 8)
     assert (got == expect).all()
+
+
+def test_image_dedup_phash_planted_pairs(spark):
+    """Every planted exact copy must pair with its original at hamming 0
+    (pair order: 'dup_img_x' sorts before 'img_x')."""
+    from etf_topox_spark.operators.image_queries import (
+        DUP_PREFIX,
+        N_DUP_IMAGES,
+        image_dedup_phash,
+    )
+
+    rows = image_dedup_phash(spark, "/root/testdata/sf0.01").collect()
+    ham0 = {(r["img_a"], r["img_b"]) for r in rows if r["hamming"] == 0}
+    planted = {
+        a.removeprefix(DUP_PREFIX)
+        for (a, b) in ham0
+        if a.startswith(DUP_PREFIX) and a.removeprefix(DUP_PREFIX) == b
+    }
+    assert len(planted) == N_DUP_IMAGES
