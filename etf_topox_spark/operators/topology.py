@@ -301,7 +301,11 @@ def _small_star(e: DataFrame) -> DataFrame:
     return hub.unionByName(spokes).distinct()
 
 
-DRIVER_CC_MAX_PAIRS = 5_000_000
+# crossover measured on a 3.24M-node / 6.4M-pair grid graph: driver
+# label-prop 8.8s vs star loop 98.7s (identical labelings). 20M pairs is
+# ~320 MB on the driver — far under the driver heap; beyond that the
+# distributed star loop is the only option anyway.
+DRIVER_CC_MAX_PAIRS = 20_000_000
 
 
 def connected_components_local(pairs: DataFrame) -> pd.DataFrame | None:
