@@ -29,7 +29,25 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one harness table. Plain ``spark.read.parquet`` so Catalyst's
-    predicate pushdown / column pruning reach the scan untouched."""
-    if os.environ.get("SPARK_GRAFT_FORMAT", "parquet") == "iceberg":
+    predicate pushdown / column pruning reach the scan untouched.
+
+    ``SPARK_GRAFT_FORMAT`` swaps the physical source for the SAME call
+    sites: ``iceberg`` (deploy catalogs), or local ``orc``/``json``/``csv``
+    mirrors at ``{sf_dir}/{name}.{ext}``. Non-parquet local formats take
+    their schema from the parquet sibling when present so type fidelity
+    (timestamps, arrays) survives text encodings."""
+    fmt = os.environ.get("SPARK_GRAFT_FORMAT", "parquet")
+    if fmt == "iceberg":
         return spark.read.format("iceberg").load(f"local.db.{name}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fmt == "parquet":
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if fmt not in ("orc", "json", "csv"):
+        raise ValueError(f"unsupported SPARK_GRAFT_FORMAT {fmt!r}")
+    path = f"{sf_dir}/{name}.{fmt}"
+    sibling = f"{sf_dir}/{name}.parquet"
+    reader = spark.read
+    if os.path.exists(sibling):
+        reader = reader.schema(spark.read.parquet(sibling).schema)
+    if fmt == "csv":
+        return reader.option("header", "true").csv(path)
+    return getattr(reader, fmt)(path)
