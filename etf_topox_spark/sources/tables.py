@@ -50,4 +50,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         reader = reader.schema(spark.read.parquet(sibling).schema)
     if fmt == "csv":
         return reader.option("header", "true").csv(path)
+    if fmt == "json":
+        # Spark's JSON default timestampNTZFormat carries only .SSS —
+        # microseconds are truncated on write/read unless pinned to .SSSSSS.
+        reader = reader.option(
+            "timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+        )
     return getattr(reader, fmt)(path)

@@ -20,6 +20,9 @@ def _mirror(spark, tmp_path, name, fmt):
     if fmt == "csv":
         w.option("header", "true").csv(out)
     else:
+        if fmt == "json":
+            # keep µs precision for TIMESTAMP_NTZ through the text encoding
+            w = w.option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
         getattr(w, fmt)(out)
     # the parquet sibling supplies the schema
     os.symlink(f"{SF}/{name}.parquet", str(tmp_path / f"{name}.parquet"))
