@@ -105,15 +105,15 @@ def _perms() -> tuple[np.ndarray, np.ndarray]:
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    """64 minhash values via universal hashing (a·x+b mod 2^61-1)."""
+    """64 minhash values via universal hashing (a·x+b mod 2^61-1).
+
+    One (n_shingles, N_PERM) broadcast; uint64 products wrap mod 2^64
+    before the % — the HUGEINT oracle emulates exactly that wraparound.
+    Peak temp is n_shingles*64*8 bytes (<300 KB for any real document).
+    """
     sh = _shingle_hashes(text) % _MERS
     a, b = _perms()
-    # (n_shingles, n_perm) would be large; fold per-perm with running min
-    sig = np.empty(N_PERM, np.uint64)
-    for p in range(N_PERM):
-        v = (sh * a[p] + b[p]) % _MERS
-        sig[p] = v.min()
-    return sig
+    return ((sh[:, None] * a[None, :] + b[None, :]) % _MERS).min(axis=0)
 
 
 def minhash_candidates(corpus: DataFrame, spark: SparkSession) -> DataFrame:
@@ -267,30 +267,112 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash ---------------------------------------------------------------------
 
+def _fnv_bytes_matrix(bs: list) -> np.ndarray:
+    """FNV-1a 64 of each byte string, vectorized across strings: the bytes
+    are packed into a zero-padded (n, max_len) uint8 matrix and the hash
+    state advances one *column* per step (masked past each string's end),
+    so the Python-level loop is over max_len, not total bytes."""
+    n = len(bs)
+    lens = np.fromiter((len(x) for x in bs), np.int64, n)
+    h = np.full(n, 0xCBF29CE484222325, np.uint64)
+    L = int(lens.max(initial=0))
+    if L == 0:
+        return h
+    mat = np.zeros((n, L), np.uint8)
+    flat = np.frombuffer(b"".join(bs), np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(len(flat)) - np.repeat(np.cumsum(lens) - lens, lens)
+    mat[rows, cols] = flat
+    prime = np.uint64(0x100000001B3)
+    for k in range(L):
+        h = np.where(lens > k, (h ^ mat[:, k]) * prime, h)
+    return h
+
+
+_WS_TAB = np.zeros(256, bool)
+_WS_TAB[[9, 10, 11, 12, 13, 32]] = True  # ASCII whitespace
+
+
+def simhash_batch(texts) -> np.ndarray:
+    """Simhash64 of each text, vectorized across the batch with no Python
+    per-token objects: docs concatenate into one flat uint8 stream, token
+    boundaries come from a whitespace mask (ASCII ws — identical to
+    str.split() except exotic Unicode whitespace, which the RE2 \\s+ oracle
+    doesn't split on either), all tokens FNV-1a-hash column-stepwise in one
+    padded matrix, and the per-doc majority vote uses prefix sums of the
+    unpacked hash bits (±1 vote sum > 0 ⟺ 2·ones > n_tokens).
+    Value-identical to the scalar definition; empty doc → 0."""
+    bs = [t.encode("utf-8") for t in texts]
+    n = len(bs)
+    out = np.zeros(n, np.int64)
+    doc_lens = np.fromiter((len(x) for x in bs), np.int64, n)
+    total = int(doc_lens.sum())
+    if total == 0:
+        return out
+    flat = np.frombuffer(b"".join(bs), np.uint8)
+    ws = _WS_TAB[flat]
+    doc_ends = np.cumsum(doc_lens)
+    doc_starts = doc_ends - doc_lens
+    prev_ws = np.empty(total, bool)
+    prev_ws[0] = True
+    prev_ws[1:] = ws[:-1]
+    prev_ws[doc_starts[doc_lens > 0]] = True  # doc boundary breaks a token
+    next_ws = np.empty(total, bool)
+    next_ws[-1] = True
+    next_ws[:-1] = ws[1:]
+    next_ws[doc_ends[doc_lens > 0] - 1] = True
+    tstarts = np.nonzero(~ws & prev_ws)[0]
+    if len(tstarts) == 0:
+        return out
+    tok_lens = np.nonzero(~ws & next_ws)[0] - tstarts + 1
+    n_tok = len(tstarts)
+    lt = int(tok_lens.max())
+    mat = np.zeros((n_tok, lt), np.uint8)
+    cols = np.arange(int(tok_lens.sum())) - np.repeat(
+        np.cumsum(tok_lens) - tok_lens, tok_lens
+    )
+    mat[np.repeat(np.arange(n_tok), tok_lens), cols] = flat[
+        np.repeat(tstarts, tok_lens) + cols
+    ]
+    h = np.full(n_tok, 0xCBF29CE484222325, np.uint64)
+    prime = np.uint64(0x100000001B3)
+    for k in range(lt):
+        h = np.where(tok_lens > k, (h ^ mat[:, k]) * prime, h)
+    # token → owning doc: last doc whose start ≤ token start (empty docs
+    # share the next doc's start but never own a token)
+    counts = np.bincount(
+        np.searchsorted(doc_starts, tstarts, side="right") - 1, minlength=n
+    )
+    # bit-transposed layout (64, n_tok): the per-doc segment sums then run
+    # along contiguous memory (axis-0 reductions on (n_tok, 64) are ~10×
+    # slower — strided column scans)
+    bits_t = np.unpackbits(
+        np.ascontiguousarray(h.view(np.uint8).reshape(n_tok, 8).T),
+        axis=0,
+        bitorder="little",
+    ).astype(np.int32)
+    nonempty = counts > 0
+    seg_starts = (np.cumsum(counts) - counts)[nonempty]
+    ones = np.add.reduceat(bits_t, seg_starts, axis=1)
+    maj = np.zeros((64, n), np.uint8)
+    maj[:, nonempty] = 2 * ones > counts[nonempty][None, :]
+    return (
+        np.ascontiguousarray(
+            np.packbits(maj, axis=0, bitorder="little").T
+        )
+        .view(np.int64)[:, 0]
+    )
+
+
 def simhash64(text: str) -> int:
-    toks = text.split()
-    if not toks:
-        return 0
-    hs = np.array(
-        [np.uint64(abs(hash_tok(t))) for t in toks], np.uint64
-    )
-    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
-        np.int64
-    )
-    acc = (2 * bits - 1).sum(axis=0)
-    out = np.uint64(0)
-    for i in range(64):
-        if acc[i] > 0:
-            out |= np.uint64(1) << np.uint64(i)
-    return int(out.astype(np.int64))
+    return int(simhash_batch([text])[0])
 
 
 def hash_tok(t: str) -> int:
-    """Deterministic 64-bit token hash (FNV-1a; python's hash() is salted)."""
-    h = 0xCBF29CE484222325
-    for ch in t.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+    """Deterministic 64-bit token hash (FNV-1a; python's hash() is salted).
+    Scalar reference twin of _fnv_bytes_matrix — the SQL oracle mirrors this
+    definition in HUGEINT."""
+    return int(_fnv_bytes_matrix([t.encode("utf-8")])[0])
 
 
 _SIMHASH_SQL = f"""
@@ -361,10 +443,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _mutated_corpus(T(spark, sf_dir, "documents"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # chunk the Arrow batch so the (n_tokens, 64) vote matrix stays
+        # bounded (~2048 docs * ~60 toks * 64 * 8B ≈ 60 MB peak per worker)
         for pdf in batches:
-            yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "sh": [simhash64(t) for t in pdf["text"]]}
-            )
+            for lo in range(0, len(pdf), 2048):
+                part = pdf.iloc[lo : lo + 2048]
+                yield pd.DataFrame(
+                    {"doc_id": part["doc_id"], "sh": simhash_batch(part["text"])}
+                )
 
     sh = corpus.mapInPandas(kernel, "doc_id long, sh long")
     chunk_structs = [

@@ -132,16 +132,52 @@ ROLL_BASE = 257
 ROLL_MOD = (1 << 61) - 1
 
 
+_ROLL_MASK29 = np.uint64((1 << 29) - 1)
+
+
 def rolling_hash_np(texts: pd.Series) -> np.ndarray:
-    """Polynomial rolling hash over UTF-8 bytes, mod 2^61-1 (python ints —
-    exact; vectorization is across documents via the Arrow batch)."""
-    out = np.empty(len(texts), np.int64)
-    for k, t in enumerate(texts):
-        h = 0
-        for b in t.encode("utf-8"):
-            h = (h * ROLL_BASE + b) % ROLL_MOD
-        out[k] = h
-    return out
+    """Polynomial rolling hash over UTF-8 bytes, mod 2^61-1, vectorized
+    across documents: bytes right-align into a zero-padded (n, L) uint8
+    matrix (left padding contributes 0·BASE^k = 0), and column k adds
+    byte·BASE^(L-1-k) with a 32-bit-split modmul — byte·p_lo < 2^40 and the
+    byte·p_hi·2^32 term folds through 2^61 ≡ 1 (mod 2^61−1), so every
+    intermediate fits uint64 exactly. Value-identical to the per-byte
+    Horner definition the SQL oracle mirrors."""
+    bs = [t.encode("utf-8") for t in texts]
+    n = len(bs)
+    lens = np.fromiter((len(x) for x in bs), np.int64, n)
+    L = int(lens.max(initial=0))
+    if L == 0:
+        return np.zeros(n, np.int64)
+    flat = np.frombuffer(b"".join(bs), np.uint8).astype(np.uint64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # exponent of BASE for each flat byte: len(doc) - 1 - offset_in_doc
+    exps = np.repeat(ends, lens) - 1 - np.arange(len(flat))
+    pw_tab = np.empty(L, np.uint64)
+    p = 1
+    for k in range(L):
+        pw_tab[k] = p
+        p = (p * ROLL_BASE) % ROLL_MOD
+    pw = pw_tab[exps]
+    # byte·pw in two 32-bit halves so nothing overflows uint64:
+    # b·p_lo < 2^40; (b·p_hi)·2^32 folds via 2^61 ≡ 1 (mod 2^61−1)
+    t_hi = flat * (pw >> np.uint64(32))
+    contrib = (
+        flat * (pw & np.uint64(0xFFFFFFFF))
+        + ((t_hi & _ROLL_MASK29) << np.uint64(32))
+        + (t_hi >> np.uint64(29))
+    ) % np.uint64(ROLL_MOD)
+    # segment-sum contributions (<2^61 each) in two halves as int64 —
+    # sums stay < 2^55 for docs up to 2^23 bytes — then refold mod M
+    lo_sum = np.zeros(n, np.int64)
+    hi_sum = np.zeros(n, np.int64)
+    ne = lens > 0
+    lo_sum[ne] = np.add.reduceat((contrib & np.uint64(0xFFFFFFFF)).astype(np.int64), starts[ne])
+    hi_sum[ne] = np.add.reduceat((contrib >> np.uint64(32)).astype(np.int64), starts[ne])
+    hs = hi_sum.astype(np.uint64)
+    folded = ((hs & _ROLL_MASK29) << np.uint64(32)) + (hs >> np.uint64(29))
+    return ((lo_sum.astype(np.uint64) + folded) % np.uint64(ROLL_MOD)).astype(np.int64)
 
 
 @query(
