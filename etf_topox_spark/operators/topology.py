@@ -458,6 +458,88 @@ def free_standing_errors(
 
 
 # --------------------------------------------------------------------------
+# R7: per-node CCW half-edge cycles (the TopologyBuilder angular ordering)
+# --------------------------------------------------------------------------
+
+def node_edge_cycles(edges: DataFrame) -> DataFrame:
+    """CCW angular ordering of the incident edges around every node — the
+    angular-cycle / next-edge-pointer structure the reference's
+    TopologyBuilder maintains per node (SURVEY.md §2.A R7), materialized
+    distributively with ONE shuffle (the node-hash exchange; the window
+    reuses the same partitioning).
+
+    Each distinct undirected edge contributes one half-edge at each
+    endpoint. Incident half-edges sort by the diamond pseudo-angle
+
+        t = dy / (|dx| + |dy|);  a = t if dx >= 0 else 2 - t;  a += 4 if a < 0
+
+    which is strictly monotone in the true angle over [0, 4) starting east
+    going CCW, uses only +, -, /, abs (correctly-rounded IEEE ops — no
+    libm, so engine and oracle compute bit-identical keys), and cannot
+    collide for distinct directions while |dx|+|dy| < 2^25 scaled units:
+    two distinct rationals with denominators below 2^25 differ by more
+    than the double rounding radius. Geometric ties (collinear same-side
+    neighbors) break on neighbor coordinates.
+
+    Returns one row per half-edge: node coords, CCW position, node degree,
+    neighbor coords, and the CCW successor's neighbor coords (the
+    next-edge pointer, wrapping at degree).
+    """
+    lo_x = F.when(F.col("fwd"), F.col("x1")).otherwise(F.col("x2"))
+    lo_y = F.when(F.col("fwd"), F.col("y1")).otherwise(F.col("y2"))
+    hi_x = F.when(F.col("fwd"), F.col("x2")).otherwise(F.col("x1"))
+    hi_y = F.when(F.col("fwd"), F.col("y2")).otherwise(F.col("y1"))
+    und = (
+        edges.filter(F.col("lo_h") != F.col("hi_h"))  # zero-length: no angle
+        .groupBy("theme", "lo_h", "hi_h")
+        .agg(
+            F.min(lo_x).alias("ax"),
+            F.min(lo_y).alias("ay"),
+            F.min(hi_x).alias("bx"),
+            F.min(hi_y).alias("by"),
+        )
+    )
+    half = und.select(
+        "theme",
+        F.col("lo_h").alias("node_h"),
+        F.col("ax").alias("node_x"),
+        F.col("ay").alias("node_y"),
+        F.col("bx").alias("nbr_x"),
+        F.col("by").alias("nbr_y"),
+    ).unionByName(
+        und.select(
+            "theme",
+            F.col("hi_h").alias("node_h"),
+            F.col("bx").alias("node_x"),
+            F.col("by").alias("node_y"),
+            F.col("ax").alias("nbr_x"),
+            F.col("ay").alias("nbr_y"),
+        )
+    )
+    dx = F.col("nbr_x") - F.col("node_x")
+    dy = F.col("nbr_y") - F.col("node_y")
+    t = dy / (F.abs(dx) + F.abs(dy))
+    a0 = F.when(dx >= 0, t).otherwise(F.lit(2.0) - t)
+    angle = F.when(a0 < 0, a0 + F.lit(4.0)).otherwise(a0)
+    w = Window.partitionBy("theme", "node_h").orderBy("a", "nbr_x", "nbr_y")
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        half.withColumn("a", angle)
+        .select(
+            "theme",
+            "node_x",
+            "node_y",
+            (F.row_number().over(w) - 1).alias("pos"),
+            F.count(F.lit(1)).over(w_all).alias("degree"),
+            "nbr_x",
+            "nbr_y",
+            F.coalesce(F.lead("nbr_x").over(w), F.first("nbr_x").over(w_all)).alias("nxt_x"),
+            F.coalesce(F.lead("nbr_y").over(w), F.first("nbr_y").over(w_all)).alias("nxt_y"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # Stage E: invalid interiors (R11) + ring orientation
 # --------------------------------------------------------------------------
 

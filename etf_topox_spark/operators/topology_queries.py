@@ -418,3 +418,72 @@ _ERROR_ORACLES = {
 for _d in ("dup_boundary", "overlap_partial", "self_intersect",
            "free_standing", "hole_defect", "zero_edge"):
     query(f"topology_errors_{_d}", oracle=_ERROR_ORACLES.get(_d))(_errors_query(_d))
+
+
+# --- R7: per-node CCW half-edge cycles -----------------------------------
+# Oracle re-derives the whole structure in SQL over the self_intersect
+# mosaic (the bowtie contributes diagonal directions, so the angular
+# comparator is exercised beyond the four axis directions): distinct
+# undirected edges → two half-edges each → diamond pseudo-angle (identical
+# IEEE formula to operators.topology.node_edge_cycles) → windowed position,
+# degree and wrapped CCW successor.
+_NODE_CYCLES_SQL = f"""
+WITH feat AS ({_GRID_FEAT}),
+vert AS (
+  SELECT fid, i,
+    CASE WHEN fid = 0 THEN CAST(CASE i WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 1 ELSE 0 END AS DOUBLE)
+         ELSE CASE i WHEN 0 THEN x0 WHEN 1 THEN x0 + 1 WHEN 2 THEN x0 + 1 ELSE x0 END END AS vx,
+    CASE WHEN fid = 0 THEN CAST(CASE i WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END AS DOUBLE)
+         ELSE CASE i WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y0 + 1 ELSE y0 + 1 END END AS vy
+  FROM feat, (SELECT unnest([0, 1, 2, 3]) AS i)
+),
+edges AS (
+  SELECT a.fid, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+  FROM vert a JOIN vert b ON a.fid = b.fid AND b.i = (a.i + 1) % 4
+),
+und AS (
+  SELECT DISTINCT
+    LEAST(x1, x2) AS ax,
+    CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y1 ELSE y2 END AS ay,
+    GREATEST(x1, x2) AS bx,
+    CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y2 ELSE y1 END AS by
+  FROM edges WHERE NOT (x1 = x2 AND y1 = y2)
+),
+half AS (
+  SELECT ax AS node_x, ay AS node_y, bx AS nbr_x, by AS nbr_y FROM und
+  UNION ALL
+  SELECT bx, by, ax, ay FROM und
+),
+ang AS (
+  SELECT *,
+    CASE WHEN (nbr_x - node_x) >= 0
+         THEN (nbr_y - node_y) / (abs(nbr_x - node_x) + abs(nbr_y - node_y))
+         ELSE 2 - (nbr_y - node_y) / (abs(nbr_x - node_x) + abs(nbr_y - node_y))
+    END AS a0
+  FROM half
+),
+cyc AS (
+  SELECT node_x, node_y, nbr_x, nbr_y,
+    CASE WHEN a0 < 0 THEN a0 + 4 ELSE a0 END AS a
+  FROM ang
+)
+SELECT 'theme0' AS theme, node_x, node_y,
+  CAST(ROW_NUMBER() OVER w - 1 AS INT) AS pos,
+  CAST(COUNT(*) OVER (PARTITION BY node_x, node_y) AS BIGINT) AS degree,
+  nbr_x, nbr_y,
+  COALESCE(LEAD(nbr_x) OVER w, FIRST_VALUE(nbr_x) OVER w_full) AS nxt_x,
+  COALESCE(LEAD(nbr_y) OVER w, FIRST_VALUE(nbr_y) OVER w_full) AS nxt_y
+FROM cyc
+WINDOW w AS (PARTITION BY node_x, node_y ORDER BY a, nbr_x, nbr_y),
+  w_full AS (PARTITION BY node_x, node_y ORDER BY a, nbr_x, nbr_y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY node_x, node_y, pos
+"""
+
+
+@query("topology_node_cycles", oracle=_NODE_CYCLES_SQL)
+def topology_node_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etf_topox_spark.operators.topology import node_edge_cycles
+
+    rings = surface_mosaic(spark, rows=_ROWS, cols=_COLS, defect="self_intersect")
+    return node_edge_cycles(rings_to_edges(rings)).orderBy("node_x", "node_y", "pos")

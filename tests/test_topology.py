@@ -10,7 +10,7 @@ import pandas as pd
 import pytest
 
 from etf_topox_spark.operators import topology_codes as codes
-from etf_topox_spark.operators.topology import validate_topology
+from etf_topox_spark.operators.topology import rings_to_edges, validate_topology
 from etf_topox_spark.sources.mosaic import mosaic_rings_pandas, surface_mosaic
 from tests.topology_oracle import ERR_COLS, validate_topology_oracle
 
@@ -84,3 +84,32 @@ def test_cell_size_invariance(spark, cell_size):
     got = validate_topology(spark, rings, cell_size=cell_size).toPandas()
     oracle = validate_topology_oracle(mosaic_rings_pandas(defect="overlap_partial", **GRID))
     pd.testing.assert_frame_equal(_canon(got), _canon(oracle))
+
+
+def test_node_cycles_structure(spark):
+    """R7 invariants: positions are 0..degree-1; the next-edge pointer is
+    the (pos+1) mod degree neighbor; every undirected edge appears as two
+    half-edges; angular order at a hand-checked node is CCW from east."""
+    from etf_topox_spark.operators.topology import node_edge_cycles
+
+    rings = surface_mosaic(spark, defect="self_intersect", **GRID)
+    cyc = node_edge_cycles(rings_to_edges(rings)).toPandas()
+
+    for (_, nx, ny), g in cyc.groupby(["theme", "node_x", "node_y"]):
+        g = g.sort_values("pos").reset_index(drop=True)
+        deg = g["degree"].iloc[0]
+        assert list(g["pos"]) == list(range(deg))
+        # next pointer = successor's neighbor, wrapping
+        nxt = g[["nbr_x", "nbr_y"]].iloc[list(range(1, deg)) + [0]].reset_index(drop=True)
+        assert (g["nxt_x"].to_numpy() == nxt["nbr_x"].to_numpy()).all()
+        assert (g["nxt_y"].to_numpy() == nxt["nbr_y"].to_numpy()).all()
+
+    # half-edge pairing: (node → nbr) exists iff (nbr → node) exists
+    fwd = set(zip(cyc.node_x, cyc.node_y, cyc.nbr_x, cyc.nbr_y))
+    rev = set(zip(cyc.nbr_x, cyc.nbr_y, cyc.node_x, cyc.node_y))
+    assert fwd == rev
+
+    # bowtie corner (0,0): diagonal to (1,1) at pseudo-angle 0.5 precedes
+    # north (0,1) at 1.0 — CCW from east
+    n00 = cyc[(cyc.node_x == 0) & (cyc.node_y == 0)].sort_values("pos")
+    assert list(zip(n00.nbr_x, n00.nbr_y)) == [(1.0, 1.0), (0.0, 1.0)]
