@@ -487,3 +487,27 @@ def topology_node_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rings = surface_mosaic(spark, rows=_ROWS, cols=_COLS, defect="self_intersect")
     return node_edge_cycles(rings_to_edges(rings)).orderBy("node_x", "node_y", "pos")
+
+
+# --- R3 proper: GML posList text ingestion -------------------------------
+# The dup_boundary mosaic serializes to gml:Surface text (round-trip-exact
+# double formatting) and re-enters through the Catalyst posList parser;
+# the full validation pipeline must then reproduce the defect set
+# bit-for-bit, so the existing derivational dup_boundary oracle doubles as
+# the text-ingest parity check.
+@query("topology_gml_roundtrip", oracle=_ERROR_ORACLES["dup_boundary"])
+def topology_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etf_topox_spark.sources.gml import gml_to_rings, rings_to_gml
+
+    rings = surface_mosaic(spark, rows=_ROWS, cols=_COLS, defect="dup_boundary")
+    reparsed = gml_to_rings(rings_to_gml(rings))
+    return (
+        validate_topology(spark, reparsed)
+        .groupBy("theme", "error_code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.min("y").alias("min_y"),
+        )
+        .orderBy("theme", "error_code")
+    )

@@ -1,0 +1,98 @@
+"""GML 3.2 surface text ingestion — the R3 posList parse proper
+(SURVEY.md §2.A R3, `topox/PosListParser.java` [ref-pub]; BASELINE.json:6
+pins behavior to "bundled GML/surface test fixtures").
+
+The reference consumes `gml:Surface` elements whose rings are
+whitespace-separated coordinate text in `gml:posList`. This module is the
+engine's text-ingest surface: `gml_to_rings` turns a DataFrame of GML
+fragments into the canonical rings frame the topology pipeline consumes,
+and `rings_to_gml` is its exact inverse (used to synthesize GML fixtures
+from the procedural mosaics — coordinate text via Spark's round-trip-exact
+double formatting, so serialize→parse is value-identical).
+
+Everything is pure Catalyst — regexp_extract_all / split / two-arg lambda
+filter — no Python UDFs: the "streaming, allocation-free parse" of the
+reference becomes whole-stage-codegen string expressions, and the parse
+runs scan-side so only array columns cross any shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+GML_SCHEMA = "feature_id long, theme string, gml string"
+
+_POSLIST_RE = (
+    r"<gml:{side}>\s*<gml:LinearRing>\s*<gml:posList>([^<]*)</gml:posList>"
+)
+
+
+def _ring_xml(side: str) -> Column:
+    pos = F.array_join(
+        F.zip_with(
+            "xs", "ys", lambda x, y: F.concat_ws(" ", x.cast("string"), y.cast("string"))
+        ),
+        " ",
+    )
+    return F.concat(
+        F.lit(f"<gml:{side}><gml:LinearRing><gml:posList>"),
+        pos,
+        F.lit(f"</gml:posList></gml:LinearRing></gml:{side}>"),
+    )
+
+
+def rings_to_gml(rings: DataFrame) -> DataFrame:
+    """Serialize the canonical rings frame into one gml:Surface fragment per
+    feature (exterior ring first, interiors in ring_idx order)."""
+    ring_xml = F.when(F.col("is_exterior"), _ring_xml("exterior")).otherwise(
+        _ring_xml("interior")
+    )
+    per_ring = rings.select(
+        "feature_id", "theme", "ring_idx", ring_xml.alias("ring_xml")
+    )
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ring_idx", "ring_xml"))),
+            lambda s: s["ring_xml"],
+        ),
+        "",
+    )
+    return per_ring.groupBy("feature_id", "theme").agg(
+        F.concat(
+            F.lit('<gml:Surface><gml:patches><gml:PolygonPatch>'),
+            body,
+            F.lit("</gml:PolygonPatch></gml:patches></gml:Surface>"),
+        ).alias("gml")
+    )
+
+
+def gml_to_rings(gml: DataFrame) -> DataFrame:
+    """Parse gml:Surface fragments back into the canonical rings frame.
+
+    Exterior rings take ring_idx 0..n_ext-1, interiors continue after —
+    matching the mosaic convention (one exterior at 0, holes from 1)."""
+    ext = F.regexp_extract_all("gml", F.lit(_POSLIST_RE.format(side="exterior")), 1)
+    intr = F.regexp_extract_all("gml", F.lit(_POSLIST_RE.format(side="interior")), 1)
+    tagged = F.concat(
+        F.transform(ext, lambda p: F.struct(F.lit(True).alias("is_exterior"), p.alias("plist"))),
+        F.transform(intr, lambda p: F.struct(F.lit(False).alias("is_exterior"), p.alias("plist"))),
+    )
+    nums = F.transform(
+        F.split(F.trim(F.col("r.plist")), r"\s+"), lambda s: s.cast("double")
+    )
+    return (
+        gml.select(
+            "feature_id",
+            "theme",
+            F.posexplode(tagged).alias("ring_idx", "r"),
+        )
+        .select(
+            "feature_id",
+            "theme",
+            F.col("ring_idx").cast("int").alias("ring_idx"),
+            F.col("r.is_exterior").alias("is_exterior"),
+            F.filter(nums, lambda v, i: i % 2 == 0).alias("xs"),
+            F.filter(nums, lambda v, i: i % 2 == 1).alias("ys"),
+        )
+    )

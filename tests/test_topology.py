@@ -113,3 +113,18 @@ def test_node_cycles_structure(spark):
     # north (0,1) at 1.0 — CCW from east
     n00 = cyc[(cyc.node_x == 0) & (cyc.node_y == 0)].sort_values("pos")
     assert list(zip(n00.nbr_x, n00.nbr_y)) == [(1.0, 1.0), (0.0, 1.0)]
+
+
+def test_gml_round_trip_exact(spark):
+    """R3: serialize → parse is value-identical for every ring (incl. the
+    0.25-offset hole), entirely in Catalyst expressions."""
+    from etf_topox_spark.sources.gml import gml_to_rings, rings_to_gml
+
+    rings = surface_mosaic(spark, defect="hole_defect", **GRID)
+    back = gml_to_rings(rings_to_gml(rings)).toPandas()
+    a = rings.toPandas().sort_values(["feature_id", "ring_idx"]).reset_index(drop=True)
+    b = back.sort_values(["feature_id", "ring_idx"]).reset_index(drop=True)[a.columns.tolist()]
+    for c in ("xs", "ys"):
+        a[c] = a[c].map(list)
+        b[c] = b[c].map(list)
+    pd.testing.assert_frame_equal(a, b)
