@@ -29,6 +29,41 @@ def error_report_json(errors: DataFrame) -> DataFrame:
     )
 
 
+def error_report_xml(errors: DataFrame) -> DataFrame:
+    """R13 format parity: the TopologyErrorXmlWriter analog ([ref-pub MED],
+    SURVEY.md §2.A R13) — a streamed XML error document as (seq, xml) rows:
+    seq 0 is the root open tag, errors at 1..n ordered deterministically
+    (code, coordinates, features), footer at n+1. Every element line is
+    built with Catalyst string expressions; the global row_number runs on a
+    single partition, which is fine for an error REPORT (bounded output by
+    definition — the per-error frame upstream is fully distributed)."""
+    from pyspark.sql.window import Window
+
+    spark = errors.sparkSession
+    w = Window.orderBy("error_code", "x", "y", "feature_a", "feature_b")
+    idx = F.row_number().over(w)
+    line = F.concat(
+        F.lit('<e i="'), idx.cast("string"),
+        F.lit('" t="'), F.col("error_code"),
+        F.lit('"><X>'), F.col("x").cast("string"),
+        F.lit("</X><Y>"), F.col("y").cast("string"),
+        F.lit("</Y><F>"), F.col("feature_a").cast("string"),
+        F.lit("</F><F>"), F.col("feature_b").cast("string"),
+        F.lit("</F></e>"),
+    )
+    header = spark.createDataFrame(
+        [(0, '<ete:TopologicalErrors xmlns:ete='
+             '"http://www.interactive-instruments.de/etf/topology-error/1.0">')],
+        "seq long, xml string",
+    )
+    footer = errors.agg(
+        (F.count(F.lit(1)) + 1).alias("seq"),
+        F.lit("</ete:TopologicalErrors>").alias("xml"),
+    )
+    body = errors.select(idx.cast("long").alias("seq"), line.alias("xml"))
+    return header.unionByName(body).unionByName(footer)
+
+
 def geojson_errors(errors: DataFrame, rings: DataFrame) -> DataFrame:
     """R15: GeoJSON Feature per erroneous feature (exterior ring geometry,
     error codes collected as properties). Pure DataFrame ops + to_json."""
@@ -156,6 +191,40 @@ SELECT 'theme0' AS theme, g.fid AS feature_id,
        || '"]}}}}' AS feature_json
 FROM geo g ORDER BY feature_id
 """
+
+
+def _error_report_xml_oracle() -> str:
+    """Byte-exact SQL twin of error_report_xml over the overlap_partial
+    fixture: same element strings, same deterministic numbering, header at
+    seq 0 and footer at n+1."""
+    return f"""{_overlap_err_rows_body()},
+numbered AS (
+  SELECT ROW_NUMBER() OVER (
+           ORDER BY error_code, x, y, feature_a, feature_b) AS seq,
+         '<e i="' || ROW_NUMBER() OVER (
+           ORDER BY error_code, x, y, feature_a, feature_b)
+         || '" t="' || error_code
+         || '"><X>' || CAST(x AS VARCHAR)
+         || '</X><Y>' || CAST(y AS VARCHAR)
+         || '</Y><F>' || CAST(feature_a AS VARCHAR)
+         || '</F><F>' || CAST(feature_b AS VARCHAR)
+         || '</F></e>' AS xml
+  FROM err_rows
+)
+SELECT CAST(0 AS BIGINT) AS seq,
+       '<ete:TopologicalErrors xmlns:ete='
+       || '"http://www.interactive-instruments.de/etf/topology-error/1.0">'
+       AS xml
+UNION ALL SELECT seq, xml FROM numbered
+UNION ALL SELECT (SELECT COUNT(*) + 1 FROM numbered), '</ete:TopologicalErrors>'
+ORDER BY seq
+"""
+
+
+@query("topology_error_report_xml", oracle=_error_report_xml_oracle())
+def topology_error_report_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rings = surface_mosaic(spark, rows=8, cols=8, defect="overlap_partial")
+    return error_report_xml(validate_topology(spark, rings)).orderBy("seq")
 
 
 @query("topology_error_report", oracle=_error_report_oracle())

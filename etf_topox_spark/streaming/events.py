@@ -96,7 +96,31 @@ def streaming_tumbling_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T3: streaming session windows ---------------------------------------------
 
-@query("streaming_session_windows")
+# batch-equivalence oracle: F.session_window merges touching windows
+# (probed: an exact 30:00 gap continues the session), so the lag-gap-cumsum
+# twin breaks strictly on gap > 30 min — the same rule as the batch
+# `sessionize` oracle.
+_SESSION_STREAM_ORACLE = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+"""
+
+
+@query("streaming_session_windows", oracle=_SESSION_STREAM_ORACLE)
 def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     agg = s.groupBy(
@@ -110,7 +134,15 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- T4: stateful dedup -----------------------------------------------------------
 
-@query("streaming_dedup")
+# batch twin: the planted duplicates are exact row copies, so surviving
+# uniques per type = COUNT(DISTINCT event_id) per type.
+_DEDUP_ORACLE = """
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("streaming_dedup", oracle=_DEDUP_ORACLE)
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
     # planted duplicates: replay each event twice via unionByName
@@ -185,11 +217,24 @@ def user_tally_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_stateful_tally")
+# batch twin of the final state: the tally kernel's count and running max
+# are monotone across update emissions, so max-aggregating the update rows
+# yields exactly the per-user batch aggregate regardless of batch slicing.
+_TALLY_ORACLE = """
+    SELECT user_id, COUNT(*) AS n_events, MAX(value) AS max_value
+    FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("streaming_stateful_tally", oracle=_TALLY_ORACLE)
 def streaming_stateful_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(
         user_tally_stream(spark, sf_dir),
         f"tally_replay_{abs(hash(sf_dir)) % 10**6}",
         "update",
     )
-    return out.orderBy("user_id")
+    return (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
+        .orderBy("user_id")
+    )
