@@ -32,6 +32,28 @@ def ring_area2(xs: np.ndarray, ys: np.ndarray) -> int:
     return int(np.sum(xi[:-1] * yi[1:] - xi[1:] * yi[:-1], dtype=np.int64))
 
 
+def ring_area2_batch(
+    xf: np.ndarray, yf: np.ndarray, starts: np.ndarray, lens: np.ndarray
+) -> np.ndarray:
+    """Exact doubled signed areas for MANY closed rings at once: the flat
+    concatenated coordinate arrays plus per-ring (start, len) offsets.
+    Identical per-ring semantics to ring_area2 (int64 shoelace after
+    per-ring min-translation) but one reduceat pass instead of a Python
+    loop per ring — the batch form ring_meta's kernel runs per Arrow batch."""
+    if len(lens) == 0:
+        return np.empty(0, np.int64)
+    xi = coord_to_int(xf)
+    yi = coord_to_int(yf)
+    xi = xi - np.repeat(np.minimum.reduceat(xi, starts), lens)
+    yi = yi - np.repeat(np.minimum.reduceat(yi, starts), lens)
+    # cross terms between consecutive flat positions; the term at each
+    # ring's last vertex pairs it with the NEXT ring's first vertex — zeroed
+    term = np.zeros(len(xi), np.int64)
+    term[:-1] = xi[:-1] * yi[1:] - xi[1:] * yi[:-1]
+    term[starts + lens - 1] = 0
+    return np.add.reduceat(term, starts)
+
+
 def _sign(v: np.ndarray) -> np.ndarray:
     return np.sign(v).astype(np.int8)
 

@@ -2,7 +2,8 @@
 (SURVEY.md §2.B F8/J12; BASELINE.json:15 per-row invariant).
 
 Tiling is a mapInPandas Arrow kernel (decode → 32×32 pixel tiles → raw
-re-encode); the invariant check cogroups tiles with their source image and
+re-encode); the invariant check co-locates tiles with their source image
+(tagged union + one image_id exchange) and
 asserts PSNR ≥ 40 dB (exact equality for our lossless codecs), caption
 byte-equality, and stored-phash == recomputed-phash. Tile↔vector assignment
 is the PIP machinery applied to tile centers (the tile side of the
@@ -77,32 +78,73 @@ _TILE_COLS = ["image_id", "tile_id", "tx", "ty", "tile_bytes", "caption", "cx", 
 
 
 def tiling_invariants(images: DataFrame) -> DataFrame:
-    """Round-trip check per image: reassembled tiles vs original decode."""
+    """Round-trip check per image: reassembled tiles vs original decode.
+
+    Tiles and originals meet through ONE tagged union + hash exchange on
+    image_id, checked by a partition-level kernel that re-groups locally:
+    the cogrouped applyInPandas form pays per-GROUP Arrow/invoke overhead
+    (~1 ms × n_images — measured dominant at 10^3 groups already, fatal at
+    10^12), while the union form pays it per partition. Both sides stay
+    binary/primitive columns through the exchange (the Spark 4.1 cogroup
+    Arrow reader nested-type segfault is moot here, but the flat schema
+    rule is kept anyway)."""
     tiles = tile_images(images)
-
-    def check(key, timg: pd.DataFrame, orig: pd.DataFrame) -> pd.DataFrame:
-        if len(orig) == 0 or len(timg) == 0:
-            return pd.DataFrame(columns=["image_id", "psnr", "caption_ok", "phash_ok", "n_tiles"])
-        o = orig.iloc[0]
-        img = IC.decode(bytes(o.bytes), o.fmt)
-        recon = np.zeros_like(img)
-        for t in timg.itertuples(index=False):
-            recon[
-                t.ty * TILE : (t.ty + 1) * TILE, t.tx * TILE : (t.tx + 1) * TILE
-            ] = IC.raw_decode(bytes(t.tile_bytes))
-        ps = IC.psnr(img, recon)
-        return pd.DataFrame(
-            {
-                "image_id": [o.image_id],
-                "psnr": [ps],
-                "caption_ok": [bool((timg.caption == o.caption).all())],
-                "phash_ok": [IC.average_hash(img) == int(o.phash)],
-                "n_tiles": [len(timg)],
-            }
+    tagged = tiles.select(
+        "image_id",
+        F.lit(0).alias("kind"),
+        "tx",
+        "ty",
+        F.col("tile_bytes").alias("payload"),
+        "caption",
+        F.lit(None).cast("string").alias("fmt"),
+        # int64 with nulls arrives in pandas as float64 — a full-range
+        # phash does not survive that round trip; ship it as text
+        F.lit(None).cast("string").alias("phash"),
+    ).unionByName(
+        images.select(
+            "image_id",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("int").alias("tx"),
+            F.lit(None).cast("int").alias("ty"),
+            F.col("bytes").alias("payload"),
+            "caption",
+            "fmt",
+            F.col("phash").cast("string").alias("phash"),
         )
+    )
 
-    return (
-        tiles.groupBy("image_id")
-        .cogroup(images.groupBy("image_id"))
-        .applyInPandas(check, INVARIANT_SCHEMA)
+    def part_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        out: dict[str, list] = {
+            "image_id": [], "psnr": [], "caption_ok": [], "phash_ok": [], "n_tiles": []
+        }
+        for image_id, g in pdf.groupby("image_id", sort=False):
+            orig = g[g["kind"] == 1]
+            timg = g[g["kind"] == 0]
+            if len(orig) == 0 or len(timg) == 0:
+                continue
+            o = orig.iloc[0]
+            img = IC.decode(bytes(o.payload), o.fmt)
+            recon = np.zeros_like(img)
+            # tx/ty pass the union as nullable ints (floats/NaN on the
+            # image rows) — cast back on the tile rows
+            for t in timg.itertuples(index=False):
+                ty, tx = int(t.ty), int(t.tx)
+                recon[
+                    ty * TILE : (ty + 1) * TILE, tx * TILE : (tx + 1) * TILE
+                ] = IC.raw_decode(bytes(t.payload))
+            out["image_id"].append(image_id)
+            out["psnr"].append(IC.psnr(img, recon))
+            out["caption_ok"].append(bool((timg.caption == o.caption).all()))
+            out["phash_ok"].append(IC.average_hash(img) == int(o.phash))
+            out["n_tiles"].append(len(timg))
+        if out["image_id"]:
+            yield pd.DataFrame(out)
+
+    n_parts = int(images.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return tagged.repartition(n_parts, "image_id").mapInPandas(
+        part_kernel, INVARIANT_SCHEMA
     )

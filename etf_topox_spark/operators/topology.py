@@ -104,19 +104,22 @@ def ring_meta(rings: DataFrame) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            area2 = [
-                geom.ring_area2(np.asarray(xs, np.float64), np.asarray(ys, np.float64))
-                for xs, ys in zip(pdf["xs"], pdf["ys"])
-            ]
+            xs_vals = pdf["xs"].to_numpy()
+            ys_vals = pdf["ys"].to_numpy()
+            lens = np.fromiter((len(v) for v in xs_vals), np.int64, len(xs_vals))
+            starts = np.zeros(len(lens), np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            xf = np.concatenate(xs_vals).astype(np.float64, copy=False)
+            yf = np.concatenate(ys_vals).astype(np.float64, copy=False)
             yield pd.DataFrame(
                 {
                     "theme": pdf["theme"],
                     "feature_id": pdf["feature_id"],
                     "ring_idx": pdf["ring_idx"].astype(np.int32),
                     "is_exterior": pdf["is_exterior"],
-                    "area2": np.asarray(area2, np.int64),
-                    "min_x": pdf["xs"].map(min).astype(np.float64),
-                    "min_y": pdf["ys"].map(min).astype(np.float64),
+                    "area2": geom.ring_area2_batch(xf, yf, starts, lens),
+                    "min_x": np.minimum.reduceat(xf, starts),
+                    "min_y": np.minimum.reduceat(yf, starts),
                 }
             )
 
@@ -222,8 +225,7 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
         )}
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        cell = int(pdf["cell"].iloc[0])
+    def cell_kernel(cell: int, pdf: pd.DataFrame) -> pd.DataFrame:
         x1 = pdf["x1"].to_numpy()
         y1 = pdf["y1"].to_numpy()
         x2 = pdf["x2"].to_numpy()
@@ -263,7 +265,36 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
         # a pair can recur inside one cell via duplicate directed edges
         return out.drop_duplicates()
 
-    return exploded.groupBy("cell").applyInPandas(kernel, ERROR_SCHEMA)
+    # hash-partition on cell, then run ALL of a partition's cells in one
+    # Python call: groupBy().applyInPandas pays ~1 ms of Arrow/invocation
+    # overhead PER GROUP (measured 2.8 s for 2500 trivial groups vs 0.95 s
+    # for the repartition+mapInPandas form on this box) — at millions of
+    # cells that's the dominant cost. The exchange still guarantees cell
+    # locality; the kernel re-groups locally with one sort.
+    def part_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            yield empty
+            return
+        # a partition can arrive as several Arrow batches that split a
+        # cell — concatenate before grouping (partition-level memory is
+        # bounded by the shuffle-partition size we sized upstream)
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        cells = pdf["cell"].to_numpy()
+        order = np.argsort(cells, kind="stable")
+        cells = cells[order]
+        pdf = pdf.iloc[order].reset_index(drop=True)
+        uniq, starts = np.unique(cells, return_index=True)
+        bounds = np.append(starts, len(cells))
+        for g, cell in enumerate(uniq):
+            out = cell_kernel(int(cell), pdf.iloc[bounds[g]:bounds[g + 1]])
+            if len(out):
+                yield out
+
+    n_parts = exploded.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return exploded.repartition(int(n_parts), "cell").mapInPandas(
+        part_kernel, ERROR_SCHEMA
+    )
 
 
 # --------------------------------------------------------------------------
@@ -591,8 +622,13 @@ def validate_topology(
     # edges feed four consumers (zero-length, stats, intersections,
     # interiors): a lazy local checkpoint materializes the kernel output
     # once instead of re-running the rings→edges pass per consumer
+    # rings feeds two kernel chains (edges, meta) — materialize the source
+    # once instead of re-running its scan/generator per chain
+    rings = rings.localCheckpoint(eager=False)
     edges = rings_to_edges(rings, cell_size).localCheckpoint(eager=False)
-    meta = ring_meta(rings)
+    # meta feeds three consumers (free-standing feats + anchors, interior
+    # orientation) — materialize the small per-ring frame once
+    meta = ring_meta(rings).localCheckpoint(eager=False)
 
     zero = edges.filter(F.col("h1") == F.col("h2")).select(
         "theme",
