@@ -8,8 +8,14 @@ cosine top-k baseline + an LSH-bucketed scale path).
 - `ann_lsh_topk`: random-hyperplane LSH (deterministic planes) → bucket
   equi-join (+ multiprobe on 1-bit flips) → exact cosine rerank. At 10^12
   rows this is the shape that works: signatures are one map-side kernel,
-  the join shuffles only bucket-matched pairs. Rows-only for the driver;
-  recall vs the exact baseline is asserted in tests/test_dedup.py.
+  the join shuffles only bucket-matched pairs. Recall vs the exact
+  baseline is asserted in tests/test_dedup.py.
+- `ann_ivf_topk`: IVF coarse quantizer (deterministic centroid codebook)
+  → inverted-list equi-join on the query's NPROBE nearest lists → exact
+  rerank. The second bucketed scale strategy; full-funnel DuckDB oracle.
+- `dedup_embedding_cosine`: near-dup PAIRS (not top-k) via multi-assignment
+  IVF blocking + exact cosine >= TAU. The task brief's embedding-cosine
+  dedup method; full-funnel oracle + brute-force-coverage pytest.
 """
 
 from __future__ import annotations
@@ -37,6 +43,12 @@ def _dot(a, b):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _cos(a, b):
+    """In-order-fold cosine of two array<double> columns (the exact
+    arithmetic DuckDB's list_aggregate sum twin reproduces)."""
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
 def _cosine_cols():
@@ -87,6 +99,83 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", "cosine", "rn")
+    )
+
+
+# --- embedding-cosine near-dup (dedup over the vector space) ---------------------
+
+NLIST = 16         # IVF coarse-quantizer lists
+NPROBE = 4         # lists probed per query (ann_ivf_topk)
+TAU = 0.4          # near-dup cosine threshold on this corpus
+ASSIGN_MULTI = 2   # lists each vector blocks into (multi-assignment IVF dedup)
+
+
+def _dedup_emb_oracle() -> str:
+    """Full-funnel DuckDB twin: same centroids, same top-ASSIGN_MULTI list
+    blocking on BOTH sides, same threshold on the same in-order cosine."""
+    assign_cos = _COS_SQL_EXPR.replace("qe", "m.e").replace("ce", "c.ce")
+    pair_cos = _COS_SQL_EXPR.replace("qe", "qa.e").replace("ce", "cb.e")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {NLIST}),
+ranked_lists AS (
+  SELECT m.vec_id, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                            ORDER BY {assign_cos} DESC, c.cid) AS rn
+  FROM emb m CROSS JOIN cent c
+),
+blocks AS (SELECT vec_id, cid FROM ranked_lists WHERE rn <= {ASSIGN_MULTI}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM blocks a JOIN blocks b USING (cid)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT cd.id_a, cd.id_b, {pair_cos} AS cosine
+FROM cand cd
+JOIN emb qa ON qa.vec_id = cd.id_a
+JOIN emb cb ON cb.vec_id = cd.id_b
+WHERE {pair_cos} >= {TAU}
+ORDER BY id_a, id_b
+"""
+
+
+@query("dedup_embedding_cosine", oracle=_dedup_emb_oracle())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (task brief's fifth dedup
+    method): block the corpus into its top-ASSIGN_MULTI nearest IVF lists
+    (multi-assignment buys cross-boundary recall), generate candidates by
+    list equi-join, keep pairs with exact cosine >= TAU. Never all-pairs:
+    the list join is the only shuffle and candidates are ~(ASSIGN_MULTI^2 /
+    NLIST) of the square. Recall vs brute force is asserted in
+    tests/test_dedup.py; the driver oracle re-derives the full funnel."""
+    em = T(spark, sf_dir, "embeddings")
+    emd = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cent = emd.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    blocks = (
+        emd.crossJoin(F.broadcast(cent))
+        .select("vec_id", "e", "cid", _cos(F.col("e"), F.col("ce")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ASSIGN_MULTI)
+        .select("vec_id", "cid", "e")
+    )
+    a = blocks.select("cid", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = blocks.select("cid", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", _cos(F.col("ea"), F.col("eb")))
+        .filter(F.col("cosine") >= TAU)
+        .select("id_a", "id_b", "cosine")
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -194,6 +283,107 @@ ranked AS (
 SELECT query_id, neighbor_id, cosine, rn FROM ranked WHERE rn <= {K}
 ORDER BY query_id, rn
 """
+
+
+# --- IVF-bucketed scale path (constants NLIST/NPROBE defined above) --------------
+
+def _ann_ivf_oracle() -> str:
+    """DuckDB twin of the IVF funnel: same deterministic centroids (the
+    first NLIST corpus vectors), same in-order-fold cosine for assignment,
+    probing, and rerank, same (cosine DESC, id) tie-breaks."""
+    assign_cos = _COS_SQL_EXPR.replace("qe", "m.e").replace("ce", "c.ce")
+    rerank_cos = _COS_SQL_EXPR.replace("qe", "qa.e").replace("ce", "cb.e")
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {NLIST}),
+scored AS (
+  SELECT m.vec_id, c.cid, {assign_cos} AS cos
+  FROM emb m CROSS JOIN cent c
+),
+ranked_lists AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM scored
+),
+assign AS (SELECT vec_id, cid FROM ranked_lists WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, cid FROM ranked_lists
+  WHERE rn <= {NPROBE} AND vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a USING (cid)
+  WHERE a.vec_id <> p.query_id
+),
+rescored AS (
+  SELECT cd.query_id, cd.neighbor_id, {rerank_cos} AS cosine
+  FROM cand cd
+  JOIN emb qa ON qa.vec_id = cd.query_id
+  JOIN emb cb ON cb.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, cosine,
+       CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rn
+  FROM rescored
+) WHERE rn <= {K}
+ORDER BY query_id, rn
+"""
+
+
+@query("ann_ivf_topk", oracle=_ann_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize the corpus into NLIST inverted lists
+    (assignment = nearest centroid by cosine), probe each query's NPROBE
+    closest lists, exact-rerank only the candidates. The 10^12-row shape:
+    assignment is one map-side pass against a broadcast centroid table with
+    a partial-aggregable max(struct) argmax (no corpus-wide sort), the only
+    real shuffle is the list-id equi-join, and rerank touches ~NPROBE/NLIST
+    of the corpus. Centroids here are the first NLIST corpus vectors — a
+    deterministic stand-in for a trained k-means codebook (training is a
+    deploy-time concern; list assignment/probe/rerank plumbing is what
+    scales). Complements ann_lsh_topk (hyperplane buckets) as the second
+    bucketed ANN strategy from the task brief."""
+    em = T(spark, sf_dir, "embeddings")
+    emd = em.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cent = emd.filter(F.col("vec_id") < NLIST).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    scored = emd.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "e", "cid", _cos(F.col("e"), F.col("ce")).alias("cos")
+    )
+    # argmax without a window: max(struct(cos, -cid)) is map-side partial
+    assign = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cid")).alias("ncid"))).alias("m"),
+        F.first("e").alias("e"),  # functionally dependent on vec_id
+    ).select("vec_id", (-F.col("m.ncid")).alias("cid"), "e")
+    probe_w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    probe = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(probe_w))
+        .filter(F.col("rn") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe"), "cid")
+    )
+    cand = (
+        probe.join(assign.withColumnRenamed("vec_id", "neighbor_id")
+                   .withColumnRenamed("e", "ce"), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        cand.withColumn("cosine", _cos(F.col("qe"), F.col("ce")))
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", "cosine", "rn")
+        .orderBy("query_id", "rn")
+    )
 
 
 @query("ann_lsh_topk", oracle=_ann_lsh_oracle())

@@ -77,3 +77,38 @@ def test_ann_lsh_recall_vs_exact(spark, sf_smoke):
     # LSH cosines are exact reranks: any overlapping pair agrees bitwise
     m = exact.merge(lsh, on=["query_id", "neighbor_id"], suffixes=("_e", "_l"))
     assert (m.cosine_e == m.cosine_l).all()
+
+
+def test_ann_ivf_recall_vs_exact(spark, sf_smoke):
+    exact = QUERIES["ann_cosine_topk"](spark, sf_smoke).toPandas()
+    ivf = QUERIES["ann_ivf_topk"](spark, sf_smoke).toPandas()
+    t = set(zip(exact.query_id, exact.neighbor_id))
+    v = set(zip(ivf.query_id, ivf.neighbor_id))
+    assert len(t & v) / len(t) >= 0.8  # measured 0.925 deterministically
+    # IVF cosines are exact reranks: any overlapping pair agrees bitwise
+    m = exact.merge(ivf, on=["query_id", "neighbor_id"], suffixes=("_e", "_v"))
+    assert (m.cosine_e == m.cosine_v).all()
+
+
+def test_dedup_embedding_cosine_coverage(spark, sf_smoke):
+    """Funnel pairs are a subset of brute-force threshold pairs with
+    measured coverage; every reported cosine is the exact value."""
+    import duckdb
+
+    got = QUERIES["dedup_embedding_cosine"](spark, sf_smoke).toPandas()
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_smoke}/embeddings.parquet')"
+        " ORDER BY vec_id"
+    ).df()
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Vn @ Vn.T
+    iu = np.triu_indices(len(V), 1)
+    hit = S[iu] >= 0.4
+    true_pairs = {(int(i), int(j)) for i, j in zip(iu[0][hit], iu[1][hit])}
+    got_pairs = {(int(r.id_a), int(r.id_b)) for r in got.itertuples()}
+    assert got_pairs <= true_pairs          # no false positives (exact verify)
+    assert len(got_pairs) / len(true_pairs) >= 0.4  # measured 0.44; true
+    # near-dups (cos -> 1) co-assign with probability -> 1, this corpus's
+    # tau=0.4 pairs are the hard low-similarity regime
