@@ -7,13 +7,13 @@ Architecture (the two-stage cell join the north rule demands):
            cell, polygons carry their bbox-cover cells replicated over an
            explicit SALT column — the fixtures put 50% of points in one
            cell, and salting spreads that hot cell over SALT reducers;
-  stage 2  exact residual evaluated per (cell, salt) group in a cogrouped
+  stage 2  exact residual evaluated per (cell, salt) group in a union-regrouped
            Arrow kernel (X4): integer ray-cast PIP, boundary-inclusive,
            winner = min feature_id (FIXTURES.md §3 tie rule). The winner is
            decided inside the kernel — a point's containers all share its
            cell — so no extra shuffle follows.
 
-kNN is the classic grid search: per-level cogrouped (probe-cell-ring ×
+kNN is the classic grid search: per-level union-regrouped (probe-cell-ring ×
 corpus-cell) kernels compute LOCAL top-k with numpy (no exploded candidate
 rows through a Spark window — the hot cell would emit 25M of them), a tiny
 global window merges per-probe, an exact certification bound (kth distance
@@ -288,8 +288,9 @@ def pip_join(
       points stream through mapInPandas with NO shuffle. Chosen
       automatically when total polygon vertices ≤ broadcast_max_vertices
       (same decision Spark's planner makes for broadcast-hash joins).
-    - 'shuffle' — both sides shuffled on (cell, salt) into a cogrouped
-      kernel; survives polygon sides too big for any one executor's memory.
+    - 'shuffle' — both sides shuffled on (cell, salt) through one tagged
+      union into a partition-level kernel (regrouped locally); survives
+      polygon sides too big for any one executor's memory.
 
     Skew (J14, shuffle path): a recon count over point cells finds hot
     cells; ONLY those are salted (points hashed over `salt` subgroups, the
@@ -342,13 +343,64 @@ def pip_join(
     ).withColumn("salt", F.lit(0).cast("long"))
     poly_salted = poly_hot.unionByName(poly_cold)
 
-    def kernel(key, p_pdf: pd.DataFrame, g_pdf: pd.DataFrame) -> pd.DataFrame:
-        return _pip_group(p_pdf, g_pdf)
+    # tagged union instead of cogroup: ONE (cell, salt) exchange, then a
+    # partition kernel that re-groups locally — cogrouped applyInPandas
+    # pays ~1 ms Arrow/invoke overhead per GROUP, which at #occupied-cells
+    # group counts dominates (see SCALE.md §2 per-group overhead). ids stay
+    # exact: int64 with nulls coerces to float64 in pandas, lossless below
+    # 2^53 (point/feature ids — asserted in the kernel).
+    tagged = pts_salted.select(
+        "cell",
+        "salt",
+        F.lit(0).alias("kind"),
+        "point_id",
+        "x",
+        "y",
+        F.lit(None).cast("long").alias("feature_id"),
+        F.lit(None).cast("binary").alias("segs"),
+    ).unionByName(
+        poly_salted.select(
+            "cell",
+            "salt",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("long").alias("point_id"),
+            F.lit(None).cast("double").alias("x"),
+            F.lit(None).cast("double").alias("y"),
+            "feature_id",
+            "segs",
+        )
+    )
 
-    return (
-        pts_salted.groupBy("cell", "salt")
-        .cogroup(poly_salted.groupBy("cell", "salt"))
-        .applyInPandas(kernel, "point_id long, feature_id long")
+    def part_kernel(batches):
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        for _, g in pdf.groupby(["cell", "salt"], sort=False):
+            pts_g = g[g["kind"] == 0]
+            polys_g = g[g["kind"] == 1]
+            if len(pts_g) == 0 or len(polys_g) == 0:
+                continue
+            pid = pts_g["point_id"].to_numpy()
+            fid = polys_g["feature_id"].to_numpy()
+            assert (np.abs(pid) < 2**53).all() and (np.abs(fid) < 2**53).all()
+            out = _pip_group(
+                pd.DataFrame({
+                    "point_id": pid.astype(np.int64),
+                    "x": pts_g["x"].to_numpy(),
+                    "y": pts_g["y"].to_numpy(),
+                }),
+                pd.DataFrame({
+                    "feature_id": fid.astype(np.int64),
+                    "segs": polys_g["segs"].to_numpy(),
+                }),
+            )
+            if len(out):
+                yield out
+
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return tagged.repartition(n_parts, "cell", "salt").mapInPandas(
+        part_kernel, "point_id long, feature_id long"
     )
 
 
@@ -356,50 +408,37 @@ def pip_join(
 # J11: exact kNN join via doubling cell-ring expansion
 # --------------------------------------------------------------------------
 
-def _knn_group(k: int):
-    def kernel(key, probes: pd.DataFrame, corpus: pd.DataFrame) -> pd.DataFrame:
-        if len(probes) == 0 or len(corpus) == 0:
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series(dtype="int64"),
-                    "neighbor_id": pd.Series(dtype="int64"),
-                    "dist2": pd.Series(dtype="float64"),
-                }
-            )
-        cx = corpus["cx"].to_numpy()
-        cy = corpus["cy"].to_numpy()
-        cid = corpus["neighbor_id"].to_numpy()
-        out_q, out_n, out_d = [], [], []
-        px = probes["x"].to_numpy()
-        py = probes["y"].to_numpy()
-        qid = probes["query_id"].to_numpy()
-        kk = min(k, len(cid))
-        for s in range(0, len(px), 128):
-            e = min(s + 128, len(px))
-            dx = px[s:e, None] - cx[None, :]
-            dy = py[s:e, None] - cy[None, :]
-            d2 = dx * dx + dy * dy
-            if len(cid) > kk:
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                # tie expansion: keep EVERYTHING at ≤ the kth distance so
-                # the global merge can tie-break by neighbor_id exactly as
-                # the oracle does (argpartition alone picks ties arbitrarily)
-                kth = d2[np.arange(e - s)[:, None], part].max(axis=1)
-                rows, cols = np.nonzero(d2 <= kth[:, None])
-            else:
-                rows, cols = np.nonzero(np.ones_like(d2, np.bool_))
-            out_q.append(qid[s:e][rows])
-            out_n.append(cid[cols])
-            out_d.append(d2[rows, cols])
-        return pd.DataFrame(
-            {
-                "query_id": np.concatenate(out_q),
-                "neighbor_id": np.concatenate(out_n),
-                "dist2": np.concatenate(out_d),
-            }
-        )
-
-    return kernel
+def _knn_pairs(
+    qid: np.ndarray, px: np.ndarray, py: np.ndarray,
+    cid: np.ndarray, cx: np.ndarray, cy: np.ndarray, k: int,
+) -> pd.DataFrame:
+    """Local top-k (with tie expansion) of one group's probes vs corpus."""
+    out_q, out_n, out_d = [], [], []
+    kk = min(k, len(cid))
+    for s in range(0, len(px), 128):
+        e = min(s + 128, len(px))
+        dx = px[s:e, None] - cx[None, :]
+        dy = py[s:e, None] - cy[None, :]
+        d2 = dx * dx + dy * dy
+        if len(cid) > kk:
+            part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
+            # tie expansion: keep EVERYTHING at ≤ the kth distance so
+            # the global merge can tie-break by neighbor_id exactly as
+            # the oracle does (argpartition alone picks ties arbitrarily)
+            kth = d2[np.arange(e - s)[:, None], part].max(axis=1)
+            rows, cols = np.nonzero(d2 <= kth[:, None])
+        else:
+            rows, cols = np.nonzero(np.ones_like(d2, np.bool_))
+        out_q.append(qid[s:e][rows])
+        out_n.append(cid[cols])
+        out_d.append(d2[rows, cols])
+    return pd.DataFrame(
+        {
+            "query_id": np.concatenate(out_q),
+            "neighbor_id": np.concatenate(out_n),
+            "dist2": np.concatenate(out_d),
+        }
+    )
 
 
 def knn_join_broadcast(
@@ -671,8 +710,8 @@ def knn_join(
 
     Strategy mirrors pip_join: 'broadcast' (corpus ≤ broadcast_max_corpus
     rows → cell-sorted index broadcast, probes mapInPandas, zero shuffles)
-    or 'shuffle' (the salted cogroup path above, for corpora too big to
-    broadcast)."""
+    or 'shuffle' (the salted tagged-union path above, for corpora too big
+    to broadcast)."""
     if strategy == "auto":
         strategy = (
             "broadcast" if corpus.count() <= broadcast_max_corpus else "shuffle"
@@ -732,11 +771,47 @@ def knn_join(
             F.broadcast(hot.select("cell")), "cell", "left_anti"
         ).withColumn("salt", F.lit(0).cast("long"))
         exploded = ring_hot.unionByName(ring_cold)
-        # local top-k inside each (cell, salt) group (numpy); tiny merge after
-        local = (
-            exploded.groupBy("cell", "salt")
-            .cogroup(corp.groupBy("cell", "salt"))
-            .applyInPandas(_knn_group(k), "query_id long, neighbor_id long, dist2 double")
+        # local top-k inside each (cell, salt) group; tagged union + ONE
+        # exchange + partition-level regroup instead of cogrouped
+        # applyInPandas (per-GROUP invoke overhead — SCALE.md §2)
+        tagged = exploded.select(
+            "cell", "salt", F.lit(0).alias("kind"),
+            F.col("query_id").alias("id"), "x", "y",
+        ).unionByName(
+            corp.select(
+                "cell", "salt", F.lit(1).alias("kind"),
+                F.col("neighbor_id").alias("id"),
+                F.col("cx").alias("x"), F.col("cy").alias("y"),
+            )
+        )
+
+        def part_kernel(batches, k=k):
+            chunks = [b for b in batches if len(b)]
+            if not chunks:
+                return
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            for _, g in pdf.groupby(["cell", "salt"], sort=False):
+                pr_g = g[g["kind"] == 0]
+                co_g = g[g["kind"] == 1]
+                if len(pr_g) == 0 or len(co_g) == 0:
+                    continue
+                qid = pr_g["id"].to_numpy()
+                cid = co_g["id"].to_numpy()
+                # ids ride the union as nullable int64 (pandas float64);
+                # exact below 2^53
+                assert (np.abs(qid) < 2**53).all() and (np.abs(cid) < 2**53).all()
+                out = _knn_pairs(
+                    qid.astype(np.int64),
+                    pr_g["x"].to_numpy(), pr_g["y"].to_numpy(),
+                    cid.astype(np.int64),
+                    co_g["x"].to_numpy(), co_g["y"].to_numpy(), k,
+                )
+                if len(out):
+                    yield out
+
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        local = tagged.repartition(n_parts, "cell", "salt").mapInPandas(
+            part_kernel, "query_id long, neighbor_id long, dist2 double"
         )
         cand = (
             local.withColumn("rn", F.row_number().over(win))

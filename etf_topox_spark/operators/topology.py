@@ -188,29 +188,38 @@ def classify_boundaries(stats: DataFrame) -> DataFrame:
 
 def explode_cover(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
     """One row per (edge, overlapped planar cell) — fully vectorized; the
-    exploded form feeds the per-cell kernel without array columns."""
-    cols = ["theme", "feature_id", "ring_idx", "x1", "y1", "x2", "y2"]
+    exploded form feeds the per-cell kernel without array columns.
+
+    Endpoints ship as TWO packed int64 point hashes (coords.pack_point)
+    instead of four doubles — half the coordinate bytes through the
+    exchange, and exactly the engine's identity model: topology decisions
+    are made on the 2^-SCALE_BITS grid (R4), so the snap the pack applies
+    is the snap the kernel would apply anyway. The bbox cover is computed
+    from the SNAPPED coords so cover and pair-ownership can never disagree
+    about a cell boundary."""
+    cols = ["theme", "feature_id", "ring_idx"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x1 = pdf["x1"].to_numpy()
-            y1 = pdf["y1"].to_numpy()
-            x2 = pdf["x2"].to_numpy()
-            y2 = pdf["y2"].to_numpy()
+            p1 = X.pack_point(pdf["x1"].to_numpy(), pdf["y1"].to_numpy())
+            p2 = X.pack_point(pdf["x2"].to_numpy(), pdf["y2"].to_numpy())
+            x1, y1 = X.unpack_point(p1)
+            x2, y2 = X.unpack_point(p2)
             rows, cells = C.planar_cover_flat(
                 np.minimum(x1, x2), np.minimum(y1, y2),
                 np.maximum(x1, x2), np.maximum(y1, y2), cell_size,
             )
             out = pdf.iloc[rows][cols].reset_index(drop=True)
+            out["p1"] = p1[rows]
+            out["p2"] = p2[rows]
             out["cell"] = cells.astype(np.int64)
             yield out
 
-    return edges.select(*cols).mapInPandas(
+    return edges.select(*cols, "x1", "y1", "x2", "y2").mapInPandas(
         kernel,
-        "theme string, feature_id long, ring_idx int, "
-        "x1 double, y1 double, x2 double, y2 double, cell long",
+        "theme string, feature_id long, ring_idx int, p1 long, p2 long, cell long",
     )
 
 
@@ -284,6 +293,11 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
         order = np.argsort(cells, kind="stable")
         cells = cells[order]
         pdf = pdf.iloc[order].reset_index(drop=True)
+        # rehydrate endpoint doubles from the packed point hashes (exact:
+        # the pack IS the engine's coordinate identity, R4)
+        x1, y1 = X.unpack_point(pdf["p1"].to_numpy())
+        x2, y2 = X.unpack_point(pdf["p2"].to_numpy())
+        pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"] = x1, y1, x2, y2
         uniq, starts = np.unique(cells, return_index=True)
         bounds = np.append(starts, len(cells))
         for g, cell in enumerate(uniq):
