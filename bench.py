@@ -91,21 +91,19 @@ def run_suite(cpus: str) -> dict:
     timings: dict[str, float] = {}
     units: dict[str, int] = {}
 
-    def _release_persisted():
-        # each bench query is a stand-in for a separate spark-submit job;
-        # localCheckpoint/cache blocks from one query must not squat on
-        # executor memory while the next runs (measured: 5 leaked topology
-        # RDDs degrade the following pip_join 12.6s -> 19.0s at local[8])
-        spark.catalog.clearCache()
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            jrdd.unpersist()
-
+    # NOTE (round 2): releasing persisted RDDs between queries (blocking
+    # unpersist + clearCache) was tried and REVERTED — it made subsequent
+    # queries 2-4x slower (block-manager removal storm bleeding into the
+    # next timed section), while the "leaked caches slow later queries"
+    # signal it was meant to fix turned out to be the box's multi-minute
+    # noise windows (identical fresh runs spread 12.6-20.5s at local[8]).
+    # The checkpointed blocks of one round-profile query fit the 16g heap
+    # with room to spare.
     def bench(name: str, fn, rows: int):
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
         units[name] = rows
-        _release_persisted()
 
     # --- north-star: topology error detection (kernel stages) ---------------
     # cell_size sized so each cell holds ~400 edges: the per-cell O(n²

@@ -19,6 +19,38 @@ from etf_topox_spark.registry import query
 from etf_topox_spark.sources.tables import load_table as T
 
 
+_TOTALS_ORACLE = """
+WITH b AS (SELECT MAX(event_id) // 2 AS half FROM events)
+SELECT 's1' AS stage, COUNT(*) AS row_count,
+       MIN(event_id) AS cell_min, MAX(event_id) AS cell_max
+FROM events, b WHERE event_id <= half
+UNION ALL
+SELECT 's2', COUNT(*), MIN(event_id), MAX(event_id)
+FROM events, b WHERE event_id > half
+ORDER BY stage
+"""
+
+
+@query("checkpoint_resume_totals", oracle=_TOTALS_ORACLE)
+def checkpoint_resume_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-level roll-up of the kill-and-resume manifest with an exact
+    oracle: per-stage row counts and cell-range extents must tile the
+    input precisely (resume lost nothing, recomputed nothing). The
+    per-partition manifest itself stays a rows-only query — partition
+    boundaries legitimately vary with the session — but these totals are
+    partition-invariant."""
+    m = checkpoint_resume_manifest(spark, sf_dir)
+    return (
+        m.groupBy("stage")
+        .agg(
+            F.sum("row_count").alias("row_count"),
+            F.min("cell_min").alias("cell_min"),
+            F.max("cell_max").alias("cell_max"),
+        )
+        .orderBy("stage")
+    )
+
+
 @query("checkpoint_resume_manifest")
 def checkpoint_resume_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = os.path.join(
