@@ -586,6 +586,76 @@ def node_edge_cycles(edges: DataFrame) -> DataFrame:
     )
 
 
+def face_cycles(edges: DataFrame) -> DataFrame:
+    """DCEL face traversal on top of the R7 angular cycles: the structure
+    the reference's TopologyBuilder walks for interior checks (SURVEY.md
+    §2.A R7 'next-edge pointers').
+
+    next(a→b) = (b→c) where half-edge (b→c) is the CW-predecessor of the
+    back-direction (b→a) in b's CCW cycle — i.e. the cycle row at b whose
+    next-edge pointer IS (b→a). Faces are the cycles of this successor
+    permutation; a permutation's undirected components are exactly its
+    cycles, so the shared connected-components machinery labels them
+    (root = min half-edge rank = the face id). Returns one row per face:
+    (theme, face_id, n_edges). On a clean subdivision the result satisfies
+    Euler's formula V − E + F = 1 + C (pytest-pinned).
+
+    The half-edge rank is a global ROW_NUMBER over the edge key — fine at
+    validation-fixture scale; the 10^12 path would swap it for
+    zipWithIndex + a rank join (the successor join and CC already scale)."""
+    cyc = node_edge_cycles(edges)
+    he = cyc.select(
+        "theme",
+        F.col("node_x").alias("ax"),
+        F.col("node_y").alias("ay"),
+        F.col("nbr_x").alias("bx"),
+        F.col("nbr_y").alias("by"),
+    )
+    w = Window.orderBy("theme", "ax", "ay", "bx", "by")
+    he = he.withColumn("he_id", F.row_number().over(w).cast("long"))
+    # successor geometry: at node b, the row whose CCW-successor is (b→a)
+    succ = cyc.select(
+        F.col("theme").alias("t2"),
+        F.col("node_x").alias("sbx"),
+        F.col("node_y").alias("sby"),
+        F.col("nbr_x").alias("cx"),
+        F.col("nbr_y").alias("cy"),
+        "nxt_x",
+        "nxt_y",
+    )
+    nxt_geo = he.join(
+        succ,
+        (F.col("theme") == F.col("t2"))
+        & (F.col("bx") == F.col("sbx"))
+        & (F.col("by") == F.col("sby"))
+        & (F.col("nxt_x") == F.col("ax"))
+        & (F.col("nxt_y") == F.col("ay")),
+    ).select("theme", "he_id", "sbx", "sby", "cx", "cy")
+    he2 = he.select(
+        F.col("theme").alias("t3"),
+        F.col("ax").alias("nax"),
+        F.col("ay").alias("nay"),
+        F.col("bx").alias("nbx"),
+        F.col("by").alias("nby"),
+        F.col("he_id").alias("next_id"),
+    )
+    pairs = nxt_geo.join(
+        he2,
+        (F.col("theme") == F.col("t3"))
+        & (F.col("sbx") == F.col("nax"))
+        & (F.col("sby") == F.col("nay"))
+        & (F.col("cx") == F.col("nbx"))
+        & (F.col("cy") == F.col("nby")),
+    ).select("theme", F.col("he_id").alias("src"), F.col("next_id").alias("dst"))
+    roots = connected_components(pairs.select("src", "dst"))
+    labeled = pairs.select("theme", F.col("src").alias("node")).join(roots, "node")
+    return (
+        labeled.groupBy("theme", F.col("root").alias("face_id"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .orderBy("theme", "face_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # Stage E: invalid interiors (R11) + ring orientation
 # --------------------------------------------------------------------------

@@ -489,6 +489,84 @@ def topology_node_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_edge_cycles(rings_to_edges(rings)).orderBy("node_x", "node_y", "pos")
 
 
+# --- R7 faces: DCEL traversal over the angular cycles --------------------
+# Oracle re-derives the whole face structure on the VALID 8x8 mosaic:
+# distinct undirected edges → half-edges ranked by key → diamond
+# pseudo-angle cycles → successor = the cycle row at b whose CCW-successor
+# is the back-direction (b→a) → recursive walk along successors carrying
+# the min rank (a permutation cycle's min = the face id) → per-face edge
+# counts. 64 unit faces of 4 edges + the outer face of 32; Euler's
+# V−E+F = 2 pinned in tests/test_topology.py.
+_FACES_SQL = f"""
+WITH RECURSIVE feat AS ({_GRID_FEAT}),
+edges AS ({_SQUARE_EDGES}),
+und AS (
+  SELECT DISTINCT
+    LEAST(x1, x2) AS ax,
+    CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y1 ELSE y2 END AS ay,
+    GREATEST(x1, x2) AS bx,
+    CASE WHEN x1 < x2 OR (x1 = x2 AND y1 <= y2) THEN y2 ELSE y1 END AS by
+  FROM edges WHERE NOT (x1 = x2 AND y1 = y2)
+),
+half0 AS (
+  SELECT ax, ay, bx, by FROM und
+  UNION ALL
+  SELECT bx, by, ax, ay FROM und
+),
+he AS (
+  SELECT ax, ay, bx, by,
+         ROW_NUMBER() OVER (ORDER BY ax, ay, bx, by) AS he_id
+  FROM half0
+),
+ang AS (
+  SELECT ax AS node_x, ay AS node_y, bx AS nbr_x, by AS nbr_y,
+    CASE WHEN (bx - ax) >= 0
+         THEN (by - ay) / (abs(bx - ax) + abs(by - ay))
+         ELSE 2 - (by - ay) / (abs(bx - ax) + abs(by - ay))
+    END AS a0
+  FROM half0
+),
+cyc AS (
+  SELECT node_x, node_y, nbr_x, nbr_y,
+    COALESCE(LEAD(nbr_x) OVER w, FIRST_VALUE(nbr_x) OVER w_full) AS nxt_x,
+    COALESCE(LEAD(nbr_y) OVER w, FIRST_VALUE(nbr_y) OVER w_full) AS nxt_y
+  FROM (SELECT node_x, node_y, nbr_x, nbr_y,
+               CASE WHEN a0 < 0 THEN a0 + 4 ELSE a0 END AS a FROM ang)
+  WINDOW w AS (PARTITION BY node_x, node_y ORDER BY a, nbr_x, nbr_y),
+    w_full AS (PARTITION BY node_x, node_y ORDER BY a, nbr_x, nbr_y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+nextmap AS (
+  SELECT h.he_id, h2.he_id AS next_id
+  FROM he h
+  JOIN cyc c ON c.node_x = h.bx AND c.node_y = h.by
+            AND c.nxt_x = h.ax AND c.nxt_y = h.ay
+  JOIN he h2 ON h2.ax = c.node_x AND h2.ay = c.node_y
+            AND h2.bx = c.nbr_x AND h2.by = c.nbr_y
+),
+walk(start_he, cur_he, mn) AS (
+  SELECT he_id, next_id, LEAST(he_id, next_id) FROM nextmap
+  UNION ALL
+  SELECT w.start_he, nm.next_id, LEAST(w.mn, nm.next_id)
+  FROM walk w JOIN nextmap nm ON nm.he_id = w.cur_he
+  WHERE w.cur_he <> w.start_he
+),
+labels AS (
+  SELECT start_he, mn AS face_id FROM walk WHERE cur_he = start_he
+)
+SELECT 'theme0' AS theme, face_id, COUNT(*) AS n_edges
+FROM labels GROUP BY 2 ORDER BY face_id
+"""
+
+
+@query("topology_faces", oracle=_FACES_SQL)
+def topology_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etf_topox_spark.operators.topology import face_cycles
+
+    rings = surface_mosaic(spark, rows=_ROWS, cols=_COLS, defect="valid_mosaic")
+    return face_cycles(rings_to_edges(rings)).orderBy("theme", "face_id")
+
+
 # --- R3 proper: GML posList text ingestion -------------------------------
 # The dup_boundary mosaic serializes to gml:Surface text (round-trip-exact
 # double formatting) and re-enters through the Catalyst posList parser;

@@ -128,3 +128,24 @@ def test_gml_round_trip_exact(spark):
         a[c] = a[c].map(list)
         b[c] = b[c].map(list)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_face_cycles_euler(spark):
+    """DCEL face traversal satisfies Euler's formula on the clean 8x8
+    mosaic: V - E + F = 2 (one connected component, outer face included);
+    64 unit faces of 4 half-edges plus the outer face of the 32-half-edge
+    perimeter; every half-edge belongs to exactly one face."""
+    from etf_topox_spark.operators.topology import face_cycles, rings_to_edges
+    from etf_topox_spark.sources.mosaic import surface_mosaic
+
+    rings = surface_mosaic(spark, rows=8, cols=8, defect="valid_mosaic")
+    edges = rings_to_edges(rings)
+    faces = face_cycles(edges).toPandas()
+
+    V = 9 * 9
+    E = 2 * 9 * 8  # horizontal + vertical undirected unit edges
+    F_ = len(faces)
+    assert V - E + F_ == 2
+    sizes = sorted(faces.n_edges.tolist())
+    assert sizes == [4] * 64 + [32]
+    assert faces.n_edges.sum() == 2 * E  # each half-edge in exactly one face
