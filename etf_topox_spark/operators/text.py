@@ -208,6 +208,68 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "text").mapInPandas(kernel, "doc_id long, fp long")
 
 
+# --- per-document salient terms (TF-IDF, log-free rational idf) -----------------
+
+TFIDF_K = 5
+
+_TFIDF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE))
+           AS score
+  FROM tf JOIN df USING (term), n
+)
+SELECT doc_id, term, tf, df, score, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored
+) WHERE rn <= {TFIDF_K}
+ORDER BY doc_id, rn
+"""
+
+
+@query("text_tfidf_topk", oracle=_TFIDF_SQL)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K salient terms per document by tf × (N/df) — the log-free
+    rational-idf variant: one division instead of ln(N/df), so Spark and
+    DuckDB compute bit-identical scores (libm log implementations are NOT
+    guaranteed identical across engines; correctly-rounded IEEE divide
+    is). Pure Catalyst: tokenize → two hash aggregations (tf, df) → term
+    equi-join (df side is small; Spark broadcasts it) → per-doc top-K
+    window. At corpus scale df is a tiny dimension (vocabulary), tf
+    shuffles once on (doc, term) with map-side partial aggregation."""
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()
+    from pyspark.sql.window import Window as W
+
+    win = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        tf.join(F.broadcast(df), "term")
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs)) / F.col("df").cast("double")),
+        )
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= TFIDF_K)
+        .select("doc_id", "term", "tf", "df", "score", "rn")
+        .orderBy("doc_id", "rn")
+    )
+
+
 # --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) -------------------
 
 FP_K = 8  # k-gram size (bytes)
