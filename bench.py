@@ -115,7 +115,9 @@ def run_suite(cpus: str) -> dict:
     def topo_kernels():
         edges = rings_to_edges(rings, CELL).localCheckpoint(eager=False)
         ok = edges.filter(F.col("h1") != F.col("h2"))
-        stats = undirected_edge_stats(ok)
+        # the Theme session knows its names (R2) → dictionary-encoded
+        # stats exchange (no strings through the shuffle)
+        stats = undirected_edge_stats(ok, themes=["theme0"])
         n = (
             boundary_errors(stats)
             .unionByName(intersection_errors(ok, CELL))
@@ -127,7 +129,9 @@ def run_suite(cpus: str) -> dict:
     bench("topology_kernels", topo_kernels, TOPO_ROWS * TOPO_COLS * 4)
 
     def topo_full():
-        return validate_topology(spark, rings, cell_size=CELL).count()
+        return validate_topology(
+            spark, rings, cell_size=CELL, themes=["theme0"]
+        ).count()
 
     bench("topology_full", topo_full, TOPO_ROWS * TOPO_COLS * 4)
 

@@ -22,6 +22,41 @@ SCALE = float(1 << SCALE_BITS)
 _MASK32 = np.uint64(0xFFFFFFFF)
 
 
+# --- Catalyst twins of the numpy pack/unpack (same bit layout, JVM-side) ---
+#
+# rint (Java Math.rint) is round-half-even, identical to np.rint;
+# shiftleft on BIGINT wraps mod 2^64, which equals the numpy uint64
+# masking; shiftright is arithmetic, so the top 32 bits sign-extend back
+# to the signed scaled-int x, and (h << 32) >> 32 sign-extends the low 32
+# bits back to the signed scaled-int y. Division by the power-of-two SCALE
+# is exact in IEEE double. These let plans keep topology identities and
+# coordinates in whole-stage codegen with zero Python round-trips.
+
+def pack_point_col(x, y):
+    """Column form of pack_point: bit-identical to the numpy kernel."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    def snap(c) -> Column:
+        return F.call_function("rint", c * F.lit(SCALE)).cast("long")
+
+    return F.shiftleft(snap(x), 32).bitwiseOR(
+        snap(y).bitwiseAND(F.lit(0xFFFFFFFF))
+    )
+
+
+def unpack_x_col(h):
+    from pyspark.sql import functions as F
+
+    return F.shiftright(h, 32).cast("double") / F.lit(SCALE)
+
+
+def unpack_y_col(h):
+    from pyspark.sql import functions as F
+
+    return F.shiftright(F.shiftleft(h, 32), 32).cast("double") / F.lit(SCALE)
+
+
 def coord_to_int(v: np.ndarray) -> np.ndarray:
     """Snap a coordinate to the identity grid. rint = round-half-even,
     deterministic across platforms."""

@@ -130,19 +130,53 @@ def ring_meta(rings: DataFrame) -> DataFrame:
 # Stage B: duplicate / overlapping boundaries (R8) + boundary classes (R12)
 # --------------------------------------------------------------------------
 
-def undirected_edge_stats(edges: DataFrame) -> DataFrame:
+def undirected_edge_stats(
+    edges: DataFrame, themes: list[str] | None = None
+) -> DataFrame:
     """The reference's insert-time hashmap conflict check as one shuffle:
-    groupBy on the undirected coordinate-hash key."""
-    return (
-        edges.groupBy("theme", "lo_h", "hi_h")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("fwd").cast("int")).alias("n_fwd"),
-            F.array_sort(F.collect_set("feature_id")).alias("features"),
-            F.min((F.col("x1") + F.col("x2")) / 2).alias("mid_x"),
-            F.min((F.col("y1") + F.col("y2")) / 2).alias("mid_y"),
+    groupBy on the undirected coordinate-hash key.
+
+    Exchange-slim by construction: the input projects to (theme, lo_h,
+    hi_h, fwd, feature_id) only, and the error-anchor midpoints derive
+    from the packed endpoint hashes AFTER aggregation — they are exact
+    functions of the snapped endpoints (R4 identity; also immune to the
+    min-of-independent-columns coordinate mixing a raw-coord aggregate
+    would risk), so no coordinate doubles cross the exchange at all.
+
+    When the Theme session provides its name list (R2 — a validation run
+    knows its themes up front), the theme string is dictionary-encoded to
+    a small int for the shuffle and decoded after: the exchange then
+    carries three longs + two ints per partial row and zero strings."""
+    mid_x = (X.unpack_x_col(F.col("lo_h")) + X.unpack_x_col(F.col("hi_h"))) / 2
+    mid_y = (X.unpack_y_col(F.col("lo_h")) + X.unpack_y_col(F.col("hi_h"))) / 2
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("fwd").cast("int")).alias("n_fwd"),
+        F.array_sort(F.collect_set("feature_id")).alias("features"),
+    ]
+    base = edges.select("theme", "lo_h", "hi_h", "fwd", "feature_id")
+    if themes:
+        enc = F.create_map(
+            *[c for i, t in enumerate(sorted(themes)) for c in (F.lit(t), F.lit(i))]
         )
-    )
+        dec = F.create_map(
+            *[c for i, t in enumerate(sorted(themes)) for c in (F.lit(i), F.lit(t))]
+        )
+        g = (
+            base.select(
+                F.element_at(enc, F.col("theme")).alias("tid"),
+                "lo_h", "hi_h", "fwd", "feature_id",
+            )
+            .groupBy("tid", "lo_h", "hi_h")
+            .agg(*aggs)
+            .select(
+                F.element_at(dec, F.col("tid")).alias("theme"),
+                "lo_h", "hi_h", "n", "n_fwd", "features",
+            )
+        )
+    else:
+        g = base.groupBy("theme", "lo_h", "hi_h").agg(*aggs)
+    return g.withColumn("mid_x", mid_x).withColumn("mid_y", mid_y)
 
 
 def boundary_errors(stats: DataFrame) -> DataFrame:
@@ -531,19 +565,27 @@ def node_edge_cycles(edges: DataFrame) -> DataFrame:
     Returns one row per half-edge: node coords, CCW position, node degree,
     neighbor coords, and the CCW successor's neighbor coords (the
     next-edge pointer, wrapping at degree).
+
+    Endpoint coords are UNPACKED from the canonical lo_h/hi_h point hashes
+    (R4), not min-aggregated from the raw doubles: two duplicate directed
+    edges whose raw coords differ within one snap quantum share a packed
+    identity, and independent per-column mins could mix x from one row
+    with y from another — a point no input row contains. The snapped
+    identity IS the topology's coordinate system, so unpacking is exact,
+    and the distinct() exchange ships two longs instead of four doubles.
     """
-    lo_x = F.when(F.col("fwd"), F.col("x1")).otherwise(F.col("x2"))
-    lo_y = F.when(F.col("fwd"), F.col("y1")).otherwise(F.col("y2"))
-    hi_x = F.when(F.col("fwd"), F.col("x2")).otherwise(F.col("x1"))
-    hi_y = F.when(F.col("fwd"), F.col("y2")).otherwise(F.col("y1"))
     und = (
         edges.filter(F.col("lo_h") != F.col("hi_h"))  # zero-length: no angle
-        .groupBy("theme", "lo_h", "hi_h")
-        .agg(
-            F.min(lo_x).alias("ax"),
-            F.min(lo_y).alias("ay"),
-            F.min(hi_x).alias("bx"),
-            F.min(hi_y).alias("by"),
+        .select("theme", "lo_h", "hi_h")
+        .distinct()
+        .select(
+            "theme",
+            "lo_h",
+            "hi_h",
+            X.unpack_x_col(F.col("lo_h")).alias("ax"),
+            X.unpack_y_col(F.col("lo_h")).alias("ay"),
+            X.unpack_x_col(F.col("hi_h")).alias("bx"),
+            X.unpack_y_col(F.col("hi_h")).alias("by"),
         )
     )
     half = und.select(
@@ -586,6 +628,153 @@ def node_edge_cycles(edges: DataFrame) -> DataFrame:
     )
 
 
+def face_successor_pairs(edges: DataFrame) -> DataFrame:
+    """The DCEL successor permutation over half-edges, keyed by packed
+    endpoint-hash pairs (R4) — no global ids, no joins at all.
+
+    Every row of node_edge_cycles at node b, (b→c) with CCW-successor
+    pointer (b→a), directly states: the face-successor of half-edge (a→b)
+    is (b→c). A half-edge's identity is the pair of its packed endpoint
+    hashes, so the whole permutation is one map-side projection of the
+    cycle frame — the previous implementation's global single-partition
+    ROW_NUMBER rank (the one non-scalable plan in the engine) and its two
+    geometry self-joins are gone entirely."""
+    cyc = node_edge_cycles(edges)
+    pa = X.pack_point_col(F.col("nxt_x"), F.col("nxt_y"))
+    pb = X.pack_point_col(F.col("node_x"), F.col("node_y"))
+    pc = X.pack_point_col(F.col("nbr_x"), F.col("nbr_y"))
+    return cyc.select(
+        "theme",
+        pa.alias("src_a"),
+        pb.alias("src_b"),
+        pb.alias("dst_a"),
+        pc.alias("dst_b"),
+    )
+
+
+def _minlabel_prop(si: np.ndarray, di: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Vectorized min-label propagation with pointer-jumping compression
+    (the numpy core shared by connected_components_local and the local
+    face labeler). Returns the component-min label per node."""
+    labels = np.arange(n_nodes, dtype=np.int64)
+    while True:
+        prev = labels
+        nxt = labels.copy()
+        np.minimum.at(nxt, si, labels[di])
+        np.minimum.at(nxt, di, labels[si])
+        while True:
+            jumped = nxt[nxt]
+            if np.array_equal(jumped, nxt):
+                break
+            nxt = jumped
+        if np.array_equal(nxt, prev):
+            break
+        labels = nxt
+    return labels
+
+
+def _faces_local(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Driver-path face labeling: encode (theme, packed pair) half-edge
+    keys to dense local ids, run the shared min-propagation, then pick
+    each face's lexicographically-least half-edge BY COORDINATES
+    (np.lexsort — NOT the signed packed order, which diverges from
+    coordinate order for negative y)."""
+    tid, themes = pd.factorize(pdf["theme"], sort=True)
+    src = np.column_stack([tid, pdf["src_a"].to_numpy(), pdf["src_b"].to_numpy()])
+    dst = np.column_stack([tid, pdf["dst_a"].to_numpy(), pdf["dst_b"].to_numpy()])
+    nodes, inv = np.unique(np.concatenate([src, dst]), axis=0, return_inverse=True)
+    inv = inv.ravel()  # numpy 2.x returns (n, 1) for axis-unique inverse
+    n = len(src)
+    labels = _minlabel_prop(inv[:n], inv[n:], len(nodes))
+    ax, ay = X.unpack_point(nodes[:, 1])
+    bx, by = X.unpack_point(nodes[:, 2])
+    order = np.lexsort((by, bx, ay, ax))
+    sorted_roots = labels[order]
+    uniq_roots, first_pos = np.unique(sorted_roots, return_index=True)
+    rep = order[first_pos]  # lexic-min member per face
+    counts = np.bincount(labels, minlength=len(nodes))[uniq_roots]
+    return pd.DataFrame(
+        {
+            "theme": themes[nodes[rep, 0]],
+            "face_ax": ax[rep],
+            "face_ay": ay[rep],
+            "face_bx": bx[rep],
+            "face_by": by[rep],
+            "n_edges": counts.astype(np.int64),
+        }
+    )
+
+
+def _face_labels_distributed(pairs: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Pointer-doubling min-label over the successor permutation — the
+    100× path: each round is ONE self-equi-join on the packed keys
+    (hash-partitioned exchange, no single-partition stage) that halves
+    the remaining cycle distance, so faces label in O(log max-cycle-len)
+    rounds. Labels are structs of the half-edge's endpoint COORDS, so the
+    face id (the least struct) is the lexicographically-least half-edge —
+    identical to the local path's np.lexsort pick."""
+    lbl = F.struct(
+        X.unpack_x_col(F.col("src_a")).alias("fax"),
+        X.unpack_y_col(F.col("src_a")).alias("fay"),
+        X.unpack_x_col(F.col("src_b")).alias("fbx"),
+        X.unpack_y_col(F.col("src_b")).alias("fby"),
+    )
+    st = pairs.select(
+        "theme",
+        F.col("src_a").alias("ka"),
+        F.col("src_b").alias("kb"),
+        lbl.alias("lbl"),
+        F.col("dst_a").alias("na"),
+        F.col("dst_b").alias("nb"),
+    ).localCheckpoint(eager=True)
+    prev_sig = None
+    prev_df = None
+    for _ in range(max_rounds):
+        succ = st.select(
+            F.col("theme").alias("t2"),
+            F.col("ka").alias("ja"),
+            F.col("kb").alias("jb"),
+            F.col("lbl").alias("jlbl"),
+            F.col("na").alias("jna"),
+            F.col("nb").alias("jnb"),
+        )
+        new_st = (
+            st.join(
+                succ,
+                (F.col("theme") == F.col("t2"))
+                & (F.col("na") == F.col("ja"))
+                & (F.col("nb") == F.col("jb")),
+            )
+            .select(
+                "theme",
+                "ka",
+                "kb",
+                F.least("lbl", "jlbl").alias("lbl"),
+                F.col("jna").alias("na"),
+                F.col("jnb").alias("nb"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        if prev_df is not None:
+            prev_df.unpersist()
+        prev_df, st = st, new_st
+        sig = st.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.hash("ka", "kb", "lbl.fax", "lbl.fay", "lbl.fbx", "lbl.fby").cast("long")).alias("h"),
+        ).collect()[0]
+        cur = (sig["n"], sig["h"])
+        if cur == prev_sig:
+            break
+        prev_sig = cur
+    return st.select("theme", "ka", "kb", "lbl")
+
+
+FACE_SCHEMA = (
+    "theme string, face_ax double, face_ay double, "
+    "face_bx double, face_by double, n_edges long"
+)
+
+
 def face_cycles(edges: DataFrame) -> DataFrame:
     """DCEL face traversal on top of the R7 angular cycles: the structure
     the reference's TopologyBuilder walks for interior checks (SURVEY.md
@@ -594,66 +783,29 @@ def face_cycles(edges: DataFrame) -> DataFrame:
     next(a→b) = (b→c) where half-edge (b→c) is the CW-predecessor of the
     back-direction (b→a) in b's CCW cycle — i.e. the cycle row at b whose
     next-edge pointer IS (b→a). Faces are the cycles of this successor
-    permutation; a permutation's undirected components are exactly its
-    cycles, so the shared connected-components machinery labels them
-    (root = min half-edge rank = the face id). Returns one row per face:
-    (theme, face_id, n_edges). On a clean subdivision the result satisfies
-    Euler's formula V − E + F = 1 + C (pytest-pinned).
+    permutation. Half-edge identity is the packed endpoint-hash pair
+    (R4) — fully distributed, no global rank anywhere — and the face id is
+    the face's lexicographically-least half-edge, reported as its endpoint
+    coordinates (face_ax..face_by). Returns one row per face with its
+    half-edge count; on a clean subdivision the result satisfies Euler's
+    formula V − E + F = 1 + C (pytest-pinned).
 
-    The half-edge rank is a global ROW_NUMBER over the edge key — fine at
-    validation-fixture scale; the 10^12 path would swap it for
-    zipWithIndex + a rank join (the successor join and CC already scale)."""
-    cyc = node_edge_cycles(edges)
-    he = cyc.select(
+    Hybrid strategy mirroring connected_components: below
+    DRIVER_CC_MAX_PAIRS the permutation is collected and labeled with the
+    shared numpy min-propagation; above it, distributed pointer doubling
+    (O(log cycle-length) equi-join rounds, no single-partition stage)."""
+    pairs = face_successor_pairs(edges)
+    pdf = pairs.limit(DRIVER_CC_MAX_PAIRS + 1).toPandas()
+    if len(pdf) <= DRIVER_CC_MAX_PAIRS:
+        return pairs.sparkSession.createDataFrame(_faces_local(pdf), FACE_SCHEMA)
+    labeled = _face_labels_distributed(pairs)
+    return labeled.groupBy(
         "theme",
-        F.col("node_x").alias("ax"),
-        F.col("node_y").alias("ay"),
-        F.col("nbr_x").alias("bx"),
-        F.col("nbr_y").alias("by"),
-    )
-    w = Window.orderBy("theme", "ax", "ay", "bx", "by")
-    he = he.withColumn("he_id", F.row_number().over(w).cast("long"))
-    # successor geometry: at node b, the row whose CCW-successor is (b→a)
-    succ = cyc.select(
-        F.col("theme").alias("t2"),
-        F.col("node_x").alias("sbx"),
-        F.col("node_y").alias("sby"),
-        F.col("nbr_x").alias("cx"),
-        F.col("nbr_y").alias("cy"),
-        "nxt_x",
-        "nxt_y",
-    )
-    nxt_geo = he.join(
-        succ,
-        (F.col("theme") == F.col("t2"))
-        & (F.col("bx") == F.col("sbx"))
-        & (F.col("by") == F.col("sby"))
-        & (F.col("nxt_x") == F.col("ax"))
-        & (F.col("nxt_y") == F.col("ay")),
-    ).select("theme", "he_id", "sbx", "sby", "cx", "cy")
-    he2 = he.select(
-        F.col("theme").alias("t3"),
-        F.col("ax").alias("nax"),
-        F.col("ay").alias("nay"),
-        F.col("bx").alias("nbx"),
-        F.col("by").alias("nby"),
-        F.col("he_id").alias("next_id"),
-    )
-    pairs = nxt_geo.join(
-        he2,
-        (F.col("theme") == F.col("t3"))
-        & (F.col("sbx") == F.col("nax"))
-        & (F.col("sby") == F.col("nay"))
-        & (F.col("cx") == F.col("nbx"))
-        & (F.col("cy") == F.col("nby")),
-    ).select("theme", F.col("he_id").alias("src"), F.col("next_id").alias("dst"))
-    roots = connected_components(pairs.select("src", "dst"))
-    labeled = pairs.select("theme", F.col("src").alias("node")).join(roots, "node")
-    return (
-        labeled.groupBy("theme", F.col("root").alias("face_id"))
-        .agg(F.count(F.lit(1)).alias("n_edges"))
-        .orderBy("theme", "face_id")
-    )
+        F.col("lbl.fax").alias("face_ax"),
+        F.col("lbl.fay").alias("face_ay"),
+        F.col("lbl.fbx").alias("face_bx"),
+        F.col("lbl.fby").alias("face_by"),
+    ).agg(F.count(F.lit(1)).alias("n_edges"))
 
 
 # --------------------------------------------------------------------------
@@ -701,10 +853,16 @@ def interior_errors(edges: DataFrame, stats: DataFrame, meta: DataFrame) -> Data
 # --------------------------------------------------------------------------
 
 def validate_topology(
-    spark: SparkSession, rings: DataFrame, cell_size: float = 2.0
+    spark: SparkSession,
+    rings: DataFrame,
+    cell_size: float = 2.0,
+    themes: list[str] | None = None,
 ) -> DataFrame:
     """rings → topology_errors DataFrame (ERROR_SCHEMA). The engine's analog
-    of TopoX new-topology → parse-surface → detect-* → error doc."""
+    of TopoX new-topology → parse-surface → detect-* → error doc. `themes`
+    is the Theme session's name list (R2); when given, the edge-stats
+    exchange dictionary-encodes the theme string (see
+    undirected_edge_stats)."""
     # edges feed four consumers (zero-length, stats, intersections,
     # interiors): a lazy local checkpoint materializes the kernel output
     # once instead of re-running the rings→edges pass per consumer
@@ -725,7 +883,7 @@ def validate_topology(
         F.col("feature_id").alias("feature_b"),
     )
     ok = edges.filter(F.col("h1") != F.col("h2"))
-    stats = undirected_edge_stats(ok).cache()
+    stats = undirected_edge_stats(ok, themes).cache()
 
     return (
         zero

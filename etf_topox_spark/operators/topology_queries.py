@@ -491,12 +491,15 @@ def topology_node_cycles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- R7 faces: DCEL traversal over the angular cycles --------------------
 # Oracle re-derives the whole face structure on the VALID 8x8 mosaic:
-# distinct undirected edges → half-edges ranked by key → diamond
-# pseudo-angle cycles → successor = the cycle row at b whose CCW-successor
-# is the back-direction (b→a) → recursive walk along successors carrying
-# the min rank (a permutation cycle's min = the face id) → per-face edge
-# counts. 64 unit faces of 4 edges + the outer face of 32; Euler's
-# V−E+F = 2 pinned in tests/test_topology.py.
+# distinct undirected edges → half-edges → diamond pseudo-angle cycles →
+# successor = the cycle row at b whose CCW-successor is the back-direction
+# (b→a) → recursive walk along successors carrying the min rank → per-face
+# edge counts. The rank (ROW_NUMBER over (ax,ay,bx,by)) is internal to the
+# ORACLE only; its min maps back to the lexicographically-least half-edge's
+# COORDINATES, which is exactly the engine's distributed face id (the
+# engine itself carries no global rank — packed endpoint-hash pairs are the
+# half-edge identity). 64 unit faces of 4 edges + the outer face of 32;
+# Euler's V−E+F = 2 pinned in tests/test_topology.py.
 _FACES_SQL = f"""
 WITH RECURSIVE feat AS ({_GRID_FEAT}),
 edges AS ({_SQUARE_EDGES}),
@@ -553,9 +556,14 @@ walk(start_he, cur_he, mn) AS (
 ),
 labels AS (
   SELECT start_he, mn AS face_id FROM walk WHERE cur_he = start_he
+),
+faces AS (
+  SELECT face_id, COUNT(*) AS n_edges FROM labels GROUP BY 1
 )
-SELECT 'theme0' AS theme, face_id, COUNT(*) AS n_edges
-FROM labels GROUP BY 2 ORDER BY face_id
+SELECT 'theme0' AS theme, h.ax AS face_ax, h.ay AS face_ay,
+       h.bx AS face_bx, h.by AS face_by, f.n_edges
+FROM faces f JOIN he h ON h.he_id = f.face_id
+ORDER BY face_ax, face_ay, face_bx, face_by
 """
 
 
@@ -564,7 +572,9 @@ def topology_faces(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etf_topox_spark.operators.topology import face_cycles
 
     rings = surface_mosaic(spark, rows=_ROWS, cols=_COLS, defect="valid_mosaic")
-    return face_cycles(rings_to_edges(rings)).orderBy("theme", "face_id")
+    return face_cycles(rings_to_edges(rings)).orderBy(
+        "face_ax", "face_ay", "face_bx", "face_by"
+    )
 
 
 # --- R3 proper: GML posList text ingestion -------------------------------

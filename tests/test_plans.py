@@ -112,6 +112,56 @@ def test_spatial_broadcast_strategy_is_shuffle_free(spark, qname):
     assert "Exchange hashpartitioning" not in plan
 
 
+def test_face_pipeline_no_single_partition_stage(spark):
+    """The face traversal must not funnel all half-edges through one
+    partition (the round-2 scale-killer was a global no-partitionBy
+    ROW_NUMBER rank). Neither the successor-permutation build nor one
+    round of the distributed pointer-doubling labeler may contain an
+    Exchange SinglePartition."""
+    from pyspark.sql import functions as F
+
+    from etf_topox_spark.functions import coords as X
+    from etf_topox_spark.operators.topology import (
+        face_successor_pairs,
+        rings_to_edges,
+    )
+    from etf_topox_spark.sources.mosaic import surface_mosaic
+
+    rings = surface_mosaic(spark, rows=6, cols=6, defect="valid_mosaic")
+    pairs = face_successor_pairs(rings_to_edges(rings))
+    assert "SinglePartition" not in _plan(pairs)
+
+    # one pointer-doubling round, as _face_labels_distributed builds it
+    st = pairs.select(
+        "theme",
+        F.col("src_a").alias("ka"),
+        F.col("src_b").alias("kb"),
+        F.struct(
+            X.unpack_x_col(F.col("src_a")).alias("fax"),
+            X.unpack_y_col(F.col("src_a")).alias("fay"),
+            X.unpack_x_col(F.col("src_b")).alias("fbx"),
+            X.unpack_y_col(F.col("src_b")).alias("fby"),
+        ).alias("lbl"),
+        F.col("dst_a").alias("na"),
+        F.col("dst_b").alias("nb"),
+    )
+    succ = st.select(
+        F.col("theme").alias("t2"),
+        F.col("ka").alias("ja"),
+        F.col("kb").alias("jb"),
+        F.col("lbl").alias("jlbl"),
+        F.col("na").alias("jna"),
+        F.col("nb").alias("jnb"),
+    )
+    rnd = st.join(
+        succ,
+        (F.col("theme") == F.col("t2"))
+        & (F.col("na") == F.col("ja"))
+        & (F.col("nb") == F.col("jb")),
+    ).select("theme", "ka", "kb", F.least("lbl", "jlbl").alias("lbl"))
+    assert "SinglePartition" not in _plan(rnd)
+
+
 def test_sql_entrypoint_udfs(spark):
     """SURVEY §3.3: kernels callable from pure SQL text."""
     import numpy as np

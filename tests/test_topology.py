@@ -149,3 +149,51 @@ def test_face_cycles_euler(spark):
     sizes = sorted(faces.n_edges.tolist())
     assert sizes == [4] * 64 + [32]
     assert faces.n_edges.sum() == 2 * E  # each half-edge in exactly one face
+
+
+def test_edge_stats_theme_dictionary_parity(spark):
+    """The dictionary-encoded exchange (themes list supplied) must produce
+    the identical stats frame to the plain string groupBy — including the
+    post-aggregation hash-derived midpoints."""
+    from etf_topox_spark.operators.topology import undirected_edge_stats
+
+    rings = surface_mosaic(spark, defect="dup_boundary", **GRID)
+    edges = rings_to_edges(rings)
+    cols = ["theme", "lo_h", "hi_h", "n", "n_fwd", "features", "mid_x", "mid_y"]
+    plain = undirected_edge_stats(edges).toPandas()
+    enc = undirected_edge_stats(edges, themes=["theme0"]).toPandas()
+    key = ["theme", "lo_h", "hi_h"]
+    a = plain[cols].sort_values(key).reset_index(drop=True)
+    b = enc[cols].sort_values(key).reset_index(drop=True)
+    a["features"] = a["features"].map(tuple)
+    b["features"] = b["features"].map(tuple)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_face_cycles_distributed_matches_local(spark):
+    """The pointer-doubling scale path must produce the identical face
+    table to the driver-local numpy labeler (the hybrid-switch guard:
+    whichever side of DRIVER_CC_MAX_PAIRS the input lands on, same
+    faces)."""
+    import etf_topox_spark.operators.topology as topo
+    from pyspark.sql import functions as F
+
+    rings = surface_mosaic(spark, rows=5, cols=5, defect="valid_mosaic")
+    pairs = topo.face_successor_pairs(topo.rings_to_edges(rings))
+    loc = topo._faces_local(pairs.toPandas())
+    dist = (
+        topo._face_labels_distributed(pairs)
+        .groupBy(
+            "theme",
+            F.col("lbl.fax").alias("face_ax"),
+            F.col("lbl.fay").alias("face_ay"),
+            F.col("lbl.fbx").alias("face_bx"),
+            F.col("lbl.fby").alias("face_by"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+        .toPandas()
+    )
+    cols = sorted(loc.columns)
+    a = loc[cols].sort_values(cols).reset_index(drop=True)
+    b = dist[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
