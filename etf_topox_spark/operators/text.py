@@ -272,8 +272,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- winnowing fingerprints (Schleimer/Wilkerson/Aiken, MOSS) -------------------
 
-FP_K = 8  # k-gram size (bytes)
-FP_W = 5  # winnowing window (positions)
+FP_K = 16  # k-gram size (bytes) — calibrated on the driver corpus: 8-byte
+#            grams of the template-generated text are boilerplate (median
+#            doc-frequency 24), 16-byte grams are distinctive (median 1),
+#            which the MOSS copy-pair funnel below depends on
+FP_W = 5   # winnowing window (positions)
 
 
 def winnow_np(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -313,10 +316,12 @@ def winnow_np(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
             + ((t_hi & _ROLL_MASK29) << np.uint64(32))
             + (t_hi >> np.uint64(29))
         ) % np.uint64(ROLL_MOD)
-        H += contrib  # ≤ K·(2^61-1) < 2^64 for K ≤ 8
+        # fold every pass: contrib < 2^61, so H + contrib < 2^62 — never
+        # overflows uint64 for any K (the K ≤ 8 deferred-fold shortcut died
+        # with the move to 16-byte grams)
+        H = (H + contrib) % np.uint64(ROLL_MOD)
         if j:
             pw = np.uint64((int(pw) * ROLL_BASE) % ROLL_MOD)
-    H %= np.uint64(ROLL_MOD)
 
     nk = np.maximum(lens - FP_K + 1, 0)  # valid k-gram positions per doc
     posmat = np.arange(P)[None, :]
@@ -356,21 +361,22 @@ def winnow_np(texts: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return R[first], (Pp[first] + 1).astype(np.int64), Hh[first]
 
 
-@query(
-    "text_fingerprint_winnow",
-    # window-materialized DuckDB twin: same k-gram hash (HUGEINT fold over
-    # bytes — ASCII corpus, unicode(c) == byte), same W-window rightmost-min
-    # pick (ORDER BY h, i DESC), same short-doc single-window rule, DISTINCT
-    # (doc, pos). Public algorithm: Schleimer/Wilkerson/Aiken, SIGMOD'03.
-    oracle=f"""
-WITH pos AS (
+def _winnow_sql_ctes(src: str) -> str:
+    """The winnowing funnel as DuckDB CTEs over source relation `src`
+    (doc_id, text): same k-gram hash as winnow_np (HUGEINT fold over bytes
+    — ASCII corpus, unicode(c) == byte), same W-window rightmost-min pick
+    (ORDER BY h, i DESC), same short-doc single-window rule. The final CTE
+    `winnowed` is DISTINCT (doc_id, pos, fp). Public algorithm:
+    Schleimer/Wilkerson/Aiken, SIGMOD'03."""
+    return f"""
+pos AS (
   SELECT doc_id, CAST(i AS BIGINT) AS i,
     CAST(list_reduce(
       list_prepend(CAST(0 AS HUGEINT),
         list_transform(string_split(substring(text, CAST(i AS INTEGER), {FP_K}), ''),
                        c -> CAST(unicode(c) AS HUGEINT))),
       (h, b) -> (h * {ROLL_BASE} + b) % {ROLL_MOD}) AS BIGINT) AS h
-  FROM documents, LATERAL unnest(range(1, length(text) - {FP_K} + 2)) AS u(i)
+  FROM {src}, LATERAL unnest(range(1, length(text) - {FP_K} + 2)) AS u(i)
   WHERE length(text) >= {FP_K}
 ),
 nk AS (SELECT doc_id, COUNT(*) AS n FROM pos GROUP BY doc_id),
@@ -385,9 +391,17 @@ wp AS (
                             ORDER BY p.h, p.i DESC) AS rn
   FROM wins w JOIN pos p
     ON p.doc_id = w.doc_id AND p.i >= w.s AND p.i < w.s + {FP_W}
-)
-SELECT DISTINCT doc_id, i AS pos, h AS fp FROM wp WHERE rn = 1
-ORDER BY doc_id, pos
+),
+winnowed AS (
+  SELECT DISTINCT doc_id, i AS pos, h AS fp FROM wp WHERE rn = 1
+)"""
+
+
+@query(
+    "text_fingerprint_winnow",
+    oracle=f"""
+WITH {_winnow_sql_ctes("documents")}
+SELECT doc_id, pos, fp FROM winnowed ORDER BY doc_id, pos
 """,
 )
 def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -413,6 +427,84 @@ def text_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "text")
         .mapInPandas(kernel, "doc_id long, pos long, fp long")
         .orderBy("doc_id", "pos")
+    )
+
+
+# --- copy-pair detection over winnowed fingerprints (the MOSS payoff) ----------
+
+COPY_OFFSET = 2_000_000
+N_COPIED = 40
+COPY_PAD = "copied with an offset >> "  # shifts every k-gram position
+MAX_DOCS_PER_FP = 8   # MOSS boilerplate rule: over-shared fingerprints drop
+MIN_SHARED_FP = 5     # pair-report threshold
+
+
+_COPY_PAIRS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {COPY_OFFSET}, '{COPY_PAD}' || text
+  FROM documents WHERE doc_id < {N_COPIED}
+),
+{_winnow_sql_ctes("corpus")},
+fpd AS (SELECT DISTINCT doc_id, fp FROM winnowed),
+keep AS (SELECT fp FROM fpd GROUP BY fp HAVING COUNT(*) <= {MAX_DOCS_PER_FP}),
+kept AS (SELECT f.doc_id, f.fp FROM fpd f JOIN keep USING (fp))
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+FROM kept a JOIN kept b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SHARED_FP}
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("text_copy_pairs", oracle=_COPY_PAIRS_SQL)
+def text_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document copy-pair detection — the winnowing payoff (MOSS,
+    Schleimer/Wilkerson/Aiken SIGMOD'03): join fingerprints to
+    fingerprints, rank document pairs by shared-fingerprint count. The
+    fixture corpus plants offset copies (a pad prefix shifts every byte
+    position), which whole-document hashing provably misses and winnowing
+    provably catches (any shared run ≥ W+K-1 bytes guarantees a shared
+    fingerprint).
+
+    Scale shape: the only exchanges are on the fingerprint value (a long).
+    Fingerprints shared by more than MAX_DOCS_PER_FP documents are dropped
+    first — the MOSS boilerplate rule — which also caps the join fanout at
+    MAX_DOCS_PER_FP² pairs per key, so no hot-key blowup exists by
+    construction; the per-pair count then aggregates with map-side
+    combine."""
+    d = T(spark, sf_dir, "documents")
+    copies = d.filter(F.col("doc_id") < N_COPIED).select(
+        (F.col("doc_id") + COPY_OFFSET).alias("doc_id"),
+        F.concat(F.lit(COPY_PAD), F.col("text")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionByName(copies)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            r, p, h = winnow_np(pdf["text"])
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy()[r], "fp": h}
+            )
+
+    fpd = (
+        corpus.mapInPandas(kernel, "doc_id long, fp long")
+        .dropDuplicates(["doc_id", "fp"])
+    )
+    keep = fpd.groupBy("fp").agg(F.count(F.lit(1)).alias("nd")).filter(
+        F.col("nd") <= MAX_DOCS_PER_FP
+    )
+    kept = fpd.join(keep.select("fp"), "fp")
+    a = kept.select("fp", F.col("doc_id").alias("doc_a"))
+    b = kept.select("fp", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= MIN_SHARED_FP)
+        .orderBy("doc_a", "doc_b")
     )
 
 

@@ -169,7 +169,7 @@ def test_winnow_shared_fingerprint_guarantee():
     import pandas as pd
     from etf_topox_spark.operators.text import winnow_np, FP_K, FP_W
 
-    core = "zqxjkvbwpfmg"  # W+K-1 = 12 chars
+    core = "zqxjkvbwpfmg0917namelesslong"  # >= W+K-1 = 20 chars
     assert len(core) >= FP_W + FP_K - 1
     a = "left padding text " + core + " tail one"
     b = "different prefix then " + core + " other ending"
@@ -177,3 +177,15 @@ def test_winnow_shared_fingerprint_guarantee():
     fps_a = {int(hh) for rr, hh in zip(r, h) if rr == 0}
     fps_b = {int(hh) for rr, hh in zip(r, h) if rr == 1}
     assert fps_a & fps_b
+
+
+def test_copy_pairs_detects_all_planted_offsets(spark):
+    """text_copy_pairs must find every planted offset copy — the pad
+    prefix shifts every byte position, which is exactly the case
+    whole-document hashing misses and winnowing is built for."""
+    from etf_topox_spark.operators.text import COPY_OFFSET, N_COPIED, text_copy_pairs
+
+    pdf = text_copy_pairs(spark, "/root/testdata/sf0.001").toPandas()
+    got = set(zip(pdf.doc_a, pdf.doc_b))
+    want = {(i, i + COPY_OFFSET) for i in range(N_COPIED)}
+    assert want <= got, sorted(want - got)
