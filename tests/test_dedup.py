@@ -84,7 +84,8 @@ def test_ann_ivf_recall_vs_exact(spark, sf_smoke):
     ivf = QUERIES["ann_ivf_topk"](spark, sf_smoke).toPandas()
     t = set(zip(exact.query_id, exact.neighbor_id))
     v = set(zip(ivf.query_id, ivf.neighbor_id))
-    assert len(t & v) / len(t) >= 0.8  # measured 0.925 deterministically
+    # measured 0.925 deterministically (trained codebook, NPROBE=5)
+    assert len(t & v) / len(t) >= 0.85
     # IVF cosines are exact reranks: any overlapping pair agrees bitwise
     m = exact.merge(ivf, on=["query_id", "neighbor_id"], suffixes=("_e", "_v"))
     assert (m.cosine_e == m.cosine_v).all()
