@@ -180,6 +180,30 @@ def test_winnow_shared_fingerprint_guarantee():
     assert fps_a & fps_b
 
 
+def test_minhash_batch_matches_scalar_definition():
+    """The batch-wide kernel must be value-identical to the scalar
+    universal-hash definition for every edge shape (empty, sub-shingle,
+    exact-shingle, multi-doc batches)."""
+    import pandas as pd
+    from etf_topox_spark.operators.dedup import (
+        SHINGLE,
+        _MERS,
+        _perms,
+        minhash_batch,
+    )
+
+    def scalar(text):
+        sh = _shingle_hashes(text) % _MERS
+        a, b = _perms()
+        return ((sh[:, None] * a[None, :] + b[None, :]) % _MERS).min(axis=0)
+
+    texts = ["", "ab", "x" * (SHINGLE - 1), "y" * SHINGLE,
+             "the quick brown fox jumps over", "a b c d e f g h i j"]
+    got = minhash_batch(pd.Series(texts))
+    for i, t in enumerate(texts):
+        assert np.array_equal(got[i], scalar(t)), t
+
+
 def test_copy_pairs_detects_all_planted_offsets(spark):
     """text_copy_pairs must find every planted offset copy — the pad
     prefix shifts every byte position, which is exactly the case
