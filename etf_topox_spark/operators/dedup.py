@@ -331,7 +331,10 @@ def _fnv_bytes_matrix(bs: list) -> np.ndarray:
 
 
 _WS_TAB = np.zeros(256, bool)
-_WS_TAB[[9, 10, 11, 12, 13, 32]] = True  # ASCII whitespace
+# RE2's \s class: [\t\n\f\r ] — deliberately WITHOUT VT (0x0B), so the
+# engine splits exactly where the DuckDB \s+ oracles split for any input,
+# not just the VT-free driver corpus (Java's \s would include VT)
+_WS_TAB[[9, 10, 12, 13, 32]] = True
 
 
 def simhash_batch(texts) -> np.ndarray:

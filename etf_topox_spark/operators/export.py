@@ -42,9 +42,15 @@ def error_report_xml(errors: DataFrame) -> DataFrame:
     spark = errors.sparkSession
     w = Window.orderBy("error_code", "x", "y", "feature_a", "feature_b")
     idx = F.row_number().over(w)
+    # error_code is the only non-numeric interpolation: XML-escape it so a
+    # future code containing &/<->/" cannot produce a malformed document
+    # (today's enum is escape-free, so the byte-exact oracle is unchanged)
+    code_esc = F.col("error_code")
+    for raw, esc in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+        code_esc = F.replace(code_esc, F.lit(raw), F.lit(esc))
     line = F.concat(
         F.lit('<e i="'), idx.cast("string"),
-        F.lit('" t="'), F.col("error_code"),
+        F.lit('" t="'), code_esc,
         F.lit('"><X>'), F.col("x").cast("string"),
         F.lit("</X><Y>"), F.col("y").cast("string"),
         F.lit("</Y><F>"), F.col("feature_a").cast("string"),

@@ -383,7 +383,9 @@ def pip_join(
                 continue
             pid = pts_g["point_id"].to_numpy()
             fid = polys_g["feature_id"].to_numpy()
-            assert (np.abs(pid) < 2**53).all() and (np.abs(fid) < 2**53).all()
+            # exactness guard must survive python -O (asserts strip there)
+            if not ((np.abs(pid) < 2**53).all() and (np.abs(fid) < 2**53).all()):
+                raise ValueError("pip ids exceed float64-exact range (2^53)")
             out = _pip_group(
                 pd.DataFrame({
                     "point_id": pid.astype(np.int64),
@@ -799,7 +801,9 @@ def knn_join(
                 cid = co_g["id"].to_numpy()
                 # ids ride the union as nullable int64 (pandas float64);
                 # exact below 2^53
-                assert (np.abs(qid) < 2**53).all() and (np.abs(cid) < 2**53).all()
+                # exactness guard must survive python -O
+                if not ((np.abs(qid) < 2**53).all() and (np.abs(cid) < 2**53).all()):
+                    raise ValueError("knn ids exceed float64-exact range (2^53)")
                 out = _knn_pairs(
                     qid.astype(np.int64),
                     pr_g["x"].to_numpy(), pr_g["y"].to_numpy(),

@@ -16,6 +16,12 @@ from pyspark.sql import functions as F
 from etf_topox_spark.registry import query
 from etf_topox_spark.sources.tables import load_table as T
 
+# RE2's \s class, spelled out: Java regex \s would also match VT (0x0B),
+# which DuckDB/RE2 \s+ in the oracles does NOT split on — the explicit
+# class keeps engine and oracle tokenization identical for ANY input, not
+# just the VT-free driver corpus.
+_WS_RE = "[ \\t\\n\\f\\r]+"
+
 
 # --- token counting (whitespace tokenizer; BPE-ish subword estimate) ---------
 
@@ -33,7 +39,7 @@ from etf_topox_spark.sources.tables import load_table as T
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.split(F.trim("text"), _WS_RE)
     return d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -64,7 +70,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents")
-    toks = F.split(F.trim("text"), r"\s+")
+    toks = F.split(F.trim("text"), _WS_RE)
     n_tokens = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
     n_stop = (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" the ")))) / 5
@@ -248,7 +254,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles once on (doc, term) with map-side partial aggregation."""
     d = T(spark, sf_dir, "documents")
     tok = d.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+        "doc_id", F.explode(F.split(F.trim("text"), _WS_RE)).alias("term")
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -526,7 +532,7 @@ def text_copy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = T(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
     t = d.select(
-        "doc_id", F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("toks")
+        "doc_id", F.array_distinct(F.split(F.trim("text"), _WS_RE)).alias("toks")
     )
     a = t.alias("a")
     b = t.alias("b")

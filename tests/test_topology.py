@@ -151,6 +151,47 @@ def test_face_cycles_euler(spark):
     assert faces.n_edges.sum() == 2 * E  # each half-edge in exactly one face
 
 
+def test_gml_ingest_variants(spark):
+    """gml_to_rings must accept the real-world GML shapes beyond the
+    engine's own serialization: gml:pos sequences, srsDimension=3 (z
+    projected away), multiple PolygonPatch per surface, exponent-notation
+    doubles, attributes on posList."""
+    from etf_topox_spark.sources.gml import GML_SCHEMA, gml_to_rings
+
+    ring = "<gml:LinearRing>{}</gml:LinearRing>"
+    frags = [
+        # gml:pos sequence, one pair per element
+        (1, "<gml:Surface><gml:patches><gml:PolygonPatch><gml:exterior>"
+            + ring.format("<gml:pos>0 0</gml:pos><gml:pos>1 0</gml:pos>"
+                          "<gml:pos>1 1</gml:pos><gml:pos>0 0</gml:pos>")
+            + "</gml:exterior></gml:PolygonPatch></gml:patches></gml:Surface>"),
+        # srsDimension=3 posList with attribute + exponent notation
+        (2, "<gml:Surface><gml:patches><gml:PolygonPatch><gml:exterior>"
+            + ring.format('<gml:posList srsDimension="3" count="4">'
+                          "0 0 7 1e0 0 7 1 1.5E0 7 0 0 7</gml:posList>")
+            + "</gml:exterior></gml:PolygonPatch></gml:patches></gml:Surface>"),
+        # two PolygonPatch elements -> two exterior rings
+        (3, "<gml:Surface><gml:patches><gml:PolygonPatch><gml:exterior>"
+            + ring.format("<gml:posList>0 0 1 0 0 1 0 0</gml:posList>")
+            + "</gml:exterior></gml:PolygonPatch><gml:PolygonPatch><gml:exterior>"
+            + ring.format("<gml:posList>5 5 6 5 5 6 5 5</gml:posList>")
+            + "</gml:exterior></gml:PolygonPatch></gml:patches></gml:Surface>"),
+    ]
+    df = spark.createDataFrame(
+        [(fid, "t", g) for fid, g in frags], GML_SCHEMA
+    )
+    got = gml_to_rings(df).toPandas().sort_values(["feature_id", "ring_idx"])
+    r1 = got[got.feature_id == 1].iloc[0]
+    assert list(r1["xs"]) == [0.0, 1.0, 1.0, 0.0]
+    assert list(r1["ys"]) == [0.0, 0.0, 1.0, 0.0]
+    r2 = got[got.feature_id == 2].iloc[0]
+    assert list(r2["xs"]) == [0.0, 1.0, 1.0, 0.0]  # z dropped, 1e0/1.5E0 parsed
+    assert list(r2["ys"]) == [0.0, 0.0, 1.5, 0.0]
+    r3 = got[got.feature_id == 3]
+    assert len(r3) == 2 and r3.is_exterior.all()
+    assert list(r3.iloc[1]["xs"]) == [5.0, 6.0, 5.0, 5.0]
+
+
 def test_edge_stats_theme_dictionary_parity(spark):
     """The dictionary-encoded exchange (themes list supplied) must produce
     the identical stats frame to the plain string groupBy — including the
