@@ -114,13 +114,24 @@ N_DUP_IMAGES = 50
 DUP_PREFIX = "dup_"
 
 
+HAM_T = 4  # report threshold; blocking uses HAM_T+1 chunks (see below)
+# t+1 chunks of the 64-bit hash: a pair within hamming t differs in at
+# most t chunks, so some chunk matches exactly — blocking is provably
+# lossless (4 chunks only guaranteed t ≤ 3; the exact-set pytest caught
+# exactly that: hamming-4 pairs with one flipped bit per 16-bit chunk)
+_CHUNK_BITS = [13, 13, 13, 13, 12]
+_CHUNK_OFFS = [0, 13, 26, 39, 52]
+
+
 @query("image_dedup_phash")
 def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate image pairs by phash hamming distance ≤ 4, blocked on
-    4×16-bit hash chunks (the simhash blocking scheme applied to the image
-    axis). The corpus plants exact copies of the first N_DUP_IMAGES images
-    under new ids — those pairs MUST surface with hamming 0 (pytest pins
-    this); visually-near gradients may add more pairs deterministically.
+    """Near-duplicate image pairs by phash hamming distance ≤ HAM_T,
+    blocked on HAM_T+1 hash chunks (the pigeonhole blocking rule: ≤ t bit
+    flips cannot touch all t+1 chunks, so candidate generation loses
+    nothing — pytest pins the funnel output EQUAL to brute force). The
+    corpus plants exact copies of the first N_DUP_IMAGES images under new
+    ids — those pairs MUST surface with hamming 0 (pytest pins this);
+    visually-near gradients may add more pairs deterministically.
     Rows-only for the driver: phash comes from the engine's numpy decoder,
     which SQL cannot replay."""
     base = synthetic_images(spark, 400)
@@ -132,9 +143,11 @@ def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
-            F.shiftright(F.col("phash"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ch"),
+            F.shiftright(F.col("phash"), off)
+            .bitwiseAND(F.lit((1 << bits) - 1))
+            .alias("ch"),
         )
-        for c in range(4)
+        for c, (off, bits) in enumerate(zip(_CHUNK_OFFS, _CHUNK_BITS))
     ]
     chunks = corpus.select(
         "image_id", "phash", F.explode(F.array(*chunk_structs)).alias("cc")
@@ -151,6 +164,6 @@ def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ham.alias("hamming"),
         )
         .dropDuplicates(["img_a", "img_b"])
-        .filter(F.col("hamming") <= 4)
+        .filter(F.col("hamming") <= HAM_T)
         .orderBy("img_a", "img_b")
     )

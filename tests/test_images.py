@@ -87,3 +87,46 @@ def test_image_dedup_phash_planted_pairs(spark):
         if a.startswith(DUP_PREFIX) and a.removeprefix(DUP_PREFIX) == b
     }
     assert len(planted) == N_DUP_IMAGES
+
+
+def test_image_dedup_phash_exact_expected_set(spark):
+    """The blocked funnel must return EXACTLY the brute-force hamming ≤ 4
+    pair set over the deterministic corpus — with hamming ≤ 4, at least
+    one of the four 16-bit chunks is untouched (pigeonhole), so chunk
+    blocking is provably lossless and the sets must be equal, values
+    included."""
+    import numpy as np
+
+    from etf_topox_spark.operators.image_queries import (
+        DUP_PREFIX,
+        N_DUP_IMAGES,
+        image_dedup_phash,
+    )
+    from etf_topox_spark.sources.images import synthetic_images
+    from pyspark.sql import functions as F
+
+    base = synthetic_images(spark, 400)
+    dups = (
+        base.filter(F.substring("image_id", -6, 6).cast("int") < N_DUP_IMAGES)
+        .withColumn("image_id", F.concat(F.lit(DUP_PREFIX), F.col("image_id")))
+    )
+    corpus = base.unionByName(dups).select("image_id", "phash").toPandas()
+    ids = corpus["image_id"].to_numpy()
+    ph = corpus["phash"].to_numpy().astype(np.uint64)
+    xor = ph[:, None] ^ ph[None, :]
+    ham = np.zeros(xor.shape, np.int64)
+    v = xor.copy()
+    for _ in range(64):
+        ham += (v & np.uint64(1)).astype(np.int64)
+        v >>= np.uint64(1)
+    expected = {}
+    n = len(ids)
+    for i in range(n):
+        for j in range(n):
+            if ids[i] < ids[j] and ham[i, j] <= 4:
+                expected[(ids[i], ids[j])] = int(ham[i, j])
+    got = {
+        (r["img_a"], r["img_b"]): r["hamming"]
+        for r in image_dedup_phash(spark, "/root/testdata/sf0.01").collect()
+    }
+    assert got == expected
