@@ -120,7 +120,7 @@ def run_suite(cpus: str) -> dict:
         stats = undirected_edge_stats(ok, themes=["theme0"])
         n = (
             boundary_errors(stats)
-            .unionByName(intersection_errors(ok, CELL))
+            .unionByName(intersection_errors(ok, CELL, themes=["theme0"]))
             .unionByName(interior_errors(ok, stats, ring_meta(rings)))
             .count()
         )

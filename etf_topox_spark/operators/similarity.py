@@ -124,15 +124,24 @@ Q_BITS = 24        # centroid-update quantization: coords enter the mean as
 
 def _assign_np(vecs: np.ndarray, cents: np.ndarray) -> np.ndarray:
     """Nearest-centroid id per row by cosine, ties to the lowest cid.
-    Per-row arithmetic is a length-DIM reduction below numpy's 128-element
-    pairwise-sum block, i.e. a fixed sequential fold — a vector's
-    assignment is identical no matter how rows are batched across
-    partitions (no BLAS matmul, whose blocking varies with shape)."""
-    vn = np.sqrt((vecs * vecs).sum(axis=1))
-    cos = np.empty((len(vecs), len(cents)), np.float64)
+    Dot products and norms accumulate STRICTLY in dimension order (one
+    vectorized add per dimension, never np.sum's pairwise tree, never
+    BLAS) — the identical left-to-right IEEE fold as the SQL oracle's
+    list_aggregate sum, so engine training and the symbolic DuckDB
+    k-means CTEs assign every vector to the same list bit-for-bit,
+    regardless of how rows are batched across partitions."""
+    n, dim = vecs.shape
+    vn = np.zeros(n, np.float64)
+    for d in range(dim):
+        vn += vecs[:, d] * vecs[:, d]
+    cos = np.empty((n, len(cents)), np.float64)
     for c in range(len(cents)):
-        cn = np.sqrt((cents[c] * cents[c]).sum())
-        cos[:, c] = (vecs * cents[c][None, :]).sum(axis=1) / (vn * cn)
+        acc = np.zeros(n, np.float64)
+        cn = 0.0
+        for d in range(dim):
+            acc += vecs[:, d] * cents[c, d]
+            cn += cents[c, d] * cents[c, d]
+        cos[:, c] = acc / (np.sqrt(vn) * np.sqrt(cn))
     return np.argmax(cos, axis=1).astype(np.int64)
 
 
@@ -213,47 +222,52 @@ def train_ivf_codebook(
     return [list(map(float, c)) for c in cents]
 
 
-_CODEBOOK_SF = "/root/testdata/sf0.01"  # the driver's correctness scale
-_codebook_cache: dict[str, list[list[float]] | None] = {}
-
-
-def _oracle_centroids() -> list[list[float]] | None:
-    """Import-time twin of the runtime training for oracle literals: the
-    driver compares Spark vs DuckDB at sf0.01 only, so the oracle inlines
-    the codebook _kmeans_np produces on that corpus (repr round-trips the
-    doubles exactly — the LSH plane-literal pattern). Returns None when
-    the corpus is unavailable (oracles then fall back to the untrained
-    first-NLIST rule symbolically; never the case in the driver env)."""
-    if _CODEBOOK_SF not in _codebook_cache:
-        try:
-            import pyarrow.parquet as pq
-
-            pdf = (
-                pq.read_table(
-                    f"{_CODEBOOK_SF}/embeddings.parquet",
-                    columns=["vec_id", "embedding"],
-                )
-                .to_pandas()
-                .sort_values("vec_id")
-            )
-            vecs = np.stack(pdf["embedding"].to_list()).astype(np.float64)
-            _codebook_cache[_CODEBOOK_SF] = _kmeans_np(vecs, NLIST, KMEANS_ITERS)
-        except Exception:
-            _codebook_cache[_CODEBOOK_SF] = None
-    return _codebook_cache[_CODEBOOK_SF]
-
-
 def _cent_cte() -> str:
-    """The centroid CTE for the IVF oracles: trained literals when the
-    sf0.01 corpus is readable, else the untrained first-NLIST rule."""
-    cents = _oracle_centroids()
-    if cents is None:
-        return f"cent AS (SELECT vec_id AS cid, e AS ce FROM emb WHERE vec_id < {NLIST})"
-    rows = ",\n    ".join(
-        "({}, [{}]::DOUBLE[])".format(i, ", ".join(repr(v) for v in c))
-        for i, c in enumerate(cents)
-    )
-    return f"cent(cid, ce) AS (VALUES\n    {rows}\n)"
+    """The trained-codebook CTE chain for the IVF oracles — the whole
+    k-means training re-derived SYMBOLICALLY in SQL from the `emb` CTE
+    (so the oracle is correct at every scale factor, not just the one
+    some literals were computed from):
+
+    - cent_0 = the first NLIST corpus vectors (the engine's seeded init);
+    - per iteration: assignment by the in-order-fold cosine (identical
+      IEEE fold to _assign_np's dimension-order accumulation), ties to
+      the lowest cid via (cos DESC, cid) ROW_NUMBER;
+    - centroid update as the exact quantized-integer mean:
+      SUM(CAST(round_even(v·2^Q_BITS) AS BIGINT)) / (count·2^Q_BITS) —
+      round_even is np.rint; the BIGINT sums are exact, and both sides of
+      the division stay below 2^53 at these corpus sizes, so DuckDB's
+      double division equals Python's correctly-rounded int/int;
+    - empty lists keep their previous centroid (LEFT JOIN + COALESCE)."""
+    q = 1 << Q_BITS
+    ctes = [
+        f"cent_0(cid, ce) AS (SELECT vec_id, e FROM emb WHERE vec_id < {NLIST})"
+    ]
+    for it in range(KMEANS_ITERS):
+        prev = f"cent_{it}"
+        assign_cos = _COS_SQL_EXPR.replace("qe", "m.e").replace("ce", "c.ce")
+        ctes.append(f"""asgr_{it} AS (
+  SELECT m.vec_id, m.e, c.cid,
+         ROW_NUMBER() OVER (PARTITION BY m.vec_id
+                            ORDER BY {assign_cos} DESC, c.cid) AS rn
+  FROM emb m CROSS JOIN {prev} c
+)""")
+        ctes.append(f"asg_{it} AS (SELECT vec_id, e, cid FROM asgr_{it} WHERE rn = 1)")
+        ctes.append(f"cnt_{it} AS (SELECT cid, COUNT(*) AS n FROM asg_{it} GROUP BY 1)")
+        ctes.append(f"""qs_{it} AS (
+  SELECT cid, d, SUM(CAST(round_even(u * {q}, 0) AS BIGINT)) AS s
+  FROM (SELECT cid, unnest(e) AS u, unnest(range(1, {DIM} + 1)) AS d
+        FROM asg_{it})
+  GROUP BY 1, 2
+)""")
+        ctes.append(f"""newc_{it} AS (
+  SELECT q.cid, LIST(q.s / (c.n * {q}) ORDER BY q.d) AS ce
+  FROM qs_{it} q JOIN cnt_{it} c USING (cid) GROUP BY 1
+)""")
+        ctes.append(f"""cent_{it + 1}(cid, ce) AS (
+  SELECT p.cid, COALESCE(n.ce, p.ce) FROM {prev} p LEFT JOIN newc_{it} n USING (cid)
+)""")
+    ctes.append(f"cent AS (SELECT cid, ce FROM cent_{KMEANS_ITERS})")
+    return ",\n".join(ctes)
 
 
 def _runtime_centroids(spark: SparkSession, emd: DataFrame) -> DataFrame:

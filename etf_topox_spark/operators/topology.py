@@ -220,7 +220,9 @@ def classify_boundaries(stats: DataFrame) -> DataFrame:
 # Stage C: per-cell intersection kernel (R9) — the X2 grouped-map host
 # --------------------------------------------------------------------------
 
-def explode_cover(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
+def explode_cover(
+    edges: DataFrame, cell_size: float = 2.0, themes: list[str] | None = None
+) -> DataFrame:
     """One row per (edge, overlapped planar cell) — fully vectorized; the
     exploded form feeds the per-cell kernel without array columns.
 
@@ -231,7 +233,12 @@ def explode_cover(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
     engine's identity model: topology decisions are made on the
     2^-SCALE_BITS grid (R4), so the snap it applies is the snap the kernel
     would apply anyway. The bbox cover is computed from the SNAPPED coords
-    so cover and pair-ownership can never disagree about a cell boundary."""
+    so cover and pair-ownership can never disagree about a cell boundary.
+    With a Theme name list (R2), the theme string is dictionary-encoded to
+    a small int for the exchange (`tid`) — the downstream kernel decodes
+    it; the exploded rows are then 5 fixed-width columns, zero strings."""
+    dict_enc = sorted(themes) if themes else None
+    tmap = {t: i for i, t in enumerate(dict_enc)} if dict_enc else None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -245,9 +252,10 @@ def explode_cover(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
                 np.minimum(x1, x2), np.minimum(y1, y2),
                 np.maximum(x1, x2), np.maximum(y1, y2), cell_size,
             )
+            th = pdf["theme"].map(tmap).to_numpy() if tmap else pdf["theme"].to_numpy()
             yield pd.DataFrame(
                 {
-                    "theme": pdf["theme"].to_numpy()[rows],
+                    "theme": th[rows],
                     "obj_ref": pdf["obj_ref"].to_numpy()[rows],
                     "p1": p1[rows],
                     "p2": p2[rows],
@@ -255,14 +263,18 @@ def explode_cover(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
                 }
             )
 
+    ttype = "int" if dict_enc else "string"
     return edges.select("theme", "obj_ref", "x1", "y1", "x2", "y2").mapInPandas(
         kernel,
-        "theme string, obj_ref long, p1 long, p2 long, cell long",
+        f"theme {ttype}, obj_ref long, p1 long, p2 long, cell long",
     )
 
 
-def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
-    exploded = explode_cover(edges, cell_size)
+def intersection_errors(
+    edges: DataFrame, cell_size: float = 2.0, themes: list[str] | None = None
+) -> DataFrame:
+    exploded = explode_cover(edges, cell_size, themes)
+    decode = np.array(sorted(themes), object) if themes else None
 
     empty = pd.DataFrame(
         {c: pd.Series(dtype=d) for c, d in (
@@ -331,6 +343,8 @@ def intersection_errors(edges: DataFrame, cell_size: float = 2.0) -> DataFrame:
         x2, y2 = X.unpack_point(pdf["p2"].to_numpy()[order])
         fi, ri, _ = X.unpack_obj_ref(pdf["obj_ref"].to_numpy()[order])
         theme = pdf["theme"].to_numpy()[order]
+        if decode is not None:  # tid → theme string (no strings crossed the wire)
+            theme = decode[theme]
         uniq, starts = np.unique(cells, return_index=True)
         bounds = np.append(starts, len(cells))
         for g, cell in enumerate(uniq):
@@ -888,7 +902,7 @@ def validate_topology(
     return (
         zero
         .unionByName(boundary_errors(stats))
-        .unionByName(intersection_errors(ok, cell_size))
+        .unionByName(intersection_errors(ok, cell_size, themes))
         .unionByName(free_standing_errors(stats, meta))
         .unionByName(interior_errors(ok, stats, meta))
     )

@@ -211,6 +211,21 @@ def test_edge_stats_theme_dictionary_parity(spark):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_intersection_theme_dictionary_parity(spark):
+    """The tid-encoded intersection exchange must produce the identical
+    error frame to the string path."""
+    from etf_topox_spark.operators.topology import intersection_errors
+
+    rings = surface_mosaic(spark, defect="overlap_partial", **GRID)
+    edges = rings_to_edges(rings)
+    key = ["theme", "error_code", "x", "y", "feature_a", "feature_b"]
+    plain = intersection_errors(edges).toPandas()[key].sort_values(key)
+    enc = intersection_errors(edges, themes=["theme0"]).toPandas()[key].sort_values(key)
+    pd.testing.assert_frame_equal(
+        plain.reset_index(drop=True), enc.reset_index(drop=True)
+    )
+
+
 def test_face_cycles_distributed_matches_local(spark):
     """The pointer-doubling scale path must produce the identical face
     table to the driver-local numpy labeler (the hybrid-switch guard:
