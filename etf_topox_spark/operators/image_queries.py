@@ -121,9 +121,67 @@ HAM_T = 4  # report threshold; blocking uses HAM_T+1 chunks (see below)
 # exactly that: hamming-4 pairs with one flipped bit per 16-bit chunk)
 _CHUNK_BITS = [13, 13, 13, 13, 12]
 _CHUNK_OFFS = [0, 13, 26, 39, 52]
+N_PHASH_IMAGES = 400
+
+# SQL twin of the phash corpus: the fixture pixels are pure integer
+# arithmetic in (i, x, y) (sources/images.py image_pixels) and average_hash
+# thresholds in exact integers (64·block_sum > total_sum, image_codec.py),
+# so DuckDB re-derives every stored phash bit-for-bit from generate_series —
+# no decode, no floats. Shapes/base must mirror SIZES_W/SIZES_H and
+# image_pixels; printf mirrors make_image_row's f"img-{i:012d}".
+_PHASH_CORPUS_SQL = f"""
+par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_PHASH_IMAGES})) AS i)
+),
+px AS (SELECT i, w, h, base, unnest(range(w * h)) AS p FROM par),
+gray AS (
+  SELECT i,
+         ((p // w) // (h // 8)) AS br,
+         ((p % w) // (w // 8)) AS bc,
+         (  ((base + 3 * (p % w) + 5 * (p // w)) % 256)
+          + ((base * 7 + 11 * (p % w) + 2 * (p // w) + ((p % w) * (p // w)) % 17) % 256)
+          + ((base * 13 + (p % w) // 2 + 7 * (p // w)) % 256)) // 3 AS g
+  FROM px
+),
+blk AS (SELECT i, br, bc, SUM(g) AS s FROM gray GROUP BY 1, 2, 3),
+tot AS (SELECT i, SUM(s) AS t FROM blk GROUP BY 1),
+phu AS (
+  SELECT b.i,
+         SUM(CASE WHEN 64 * b.s > t.t
+                  THEN (1::HUGEINT << (b.br * 8 + b.bc)) ELSE 0::HUGEINT END) AS u
+  FROM blk b JOIN tot t USING (i) GROUP BY 1
+),
+ph AS (
+  SELECT i, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                      THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS phash
+  FROM phu
+),
+corpus AS (
+  SELECT printf('img-%012d', i) AS image_id, phash FROM ph
+  UNION ALL
+  SELECT '{DUP_PREFIX}' || printf('img-%012d', i), phash FROM ph WHERE i < {N_DUP_IMAGES}
+)"""
+
+_DEDUP_PHASH_SQL = f"""
+WITH {_PHASH_CORPUS_SQL},
+chunks AS (
+  SELECT image_id, phash, c.chunk, (phash >> c.off) & ((1::BIGINT << c.bits) - 1) AS ch
+  FROM corpus CROSS JOIN (VALUES {", ".join(f"({c}, {o}, {b})" for c, (o, b) in enumerate(zip(_CHUNK_OFFS, _CHUNK_BITS)))}) AS c(chunk, off, bits)
+)
+SELECT DISTINCT a.image_id AS img_a, b.image_id AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk = b.chunk AND a.ch = b.ch AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {HAM_T}
+ORDER BY img_a, img_b
+"""
 
 
-@query("image_dedup_phash")
+@query("image_dedup_phash", oracle=_DEDUP_PHASH_SQL)
 def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate image pairs by phash hamming distance ≤ HAM_T,
     blocked on HAM_T+1 hash chunks (the pigeonhole blocking rule: ≤ t bit
@@ -132,9 +190,11 @@ def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus plants exact copies of the first N_DUP_IMAGES images under new
     ids — those pairs MUST surface with hamming 0 (pytest pins this);
     visually-near gradients may add more pairs deterministically.
-    Rows-only for the driver: phash comes from the engine's numpy decoder,
-    which SQL cannot replay."""
-    base = synthetic_images(spark, 400)
+    Full-funnel DuckDB oracle: average_hash thresholds in exact integer
+    arithmetic, so the oracle re-derives every phash from the deterministic
+    pixel formula (no decode needed) and replays the chunk blocking +
+    hamming join symbolically."""
+    base = synthetic_images(spark, N_PHASH_IMAGES)
     dups = (
         base.filter(F.substring("image_id", -6, 6).cast("int") < N_DUP_IMAGES)
         .withColumn("image_id", F.concat(F.lit(DUP_PREFIX), F.col("image_id")))
