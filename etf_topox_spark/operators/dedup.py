@@ -526,12 +526,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- char n-gram jaccard (exact, on LSH candidates) --------------------------------
 
-@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 5-char-shingle jaccard, computed only for LSH candidate pairs —
-    the verify stage of the dedup funnel (candidates → exact score)."""
-    d = T(spark, sf_dir, "documents")
-    corpus = _mutated_corpus(d)
+def ngram_jaccard_pairs(corpus: DataFrame, spark: SparkSession) -> DataFrame:
+    """(doc_a, doc_b, jaccard) — exact 5-char-shingle jaccard on the LSH
+    candidate pairs (est ≥ 0.35). The verify stage shared by the
+    pair-scoring query and the cluster builder."""
     cand = minhash_candidates(corpus, spark).filter(F.col("est_jaccard") >= 0.35)
     texts = corpus.withColumnRenamed("doc_id", "tid")
     j = (
@@ -555,6 +553,100 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["jaccard"] = jac
             yield out
 
-    return j.mapInPandas(kernel, "doc_a long, doc_b long, jaccard double").orderBy(
-        "doc_a", "doc_b"
+    return j.mapInPandas(kernel, "doc_a long, doc_b long, jaccard double")
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 5-char-shingle jaccard, computed only for LSH candidate pairs —
+    the verify stage of the dedup funnel (candidates → exact score)."""
+    corpus = _mutated_corpus(T(spark, sf_dir, "documents"))
+    return ngram_jaccard_pairs(corpus, spark).orderBy("doc_a", "doc_b")
+
+
+# --- near-dup clusters (the keep-set stage of the funnel) --------------------
+
+CLUSTER_J = 0.6
+
+_DEDUP_CLUSTERS_SQL = (
+    # the walk CTE needs the RECURSIVE marker on the (shared) WITH head
+    _minhash_sql_body().replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + f""",
+counts AS (SELECT doc_id, COUNT(*) AS n FROM shash_full GROUP BY 1),
+inter AS (
+  SELECT e.doc_a, e.doc_b, COUNT(xb.h) AS i
+  FROM est e
+  LEFT JOIN shash_full xa ON xa.doc_id = e.doc_a
+  LEFT JOIN shash_full xb ON xb.doc_id = e.doc_b AND xb.h = xa.h
+  WHERE e.est_jaccard >= 0.35
+  GROUP BY 1, 2
+),
+cedges AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN counts ca ON ca.doc_id = i.doc_a
+  JOIN counts cb ON cb.doc_id = i.doc_b
+  WHERE CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) >= {CLUSTER_J}
+),
+sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM cedges
+  UNION ALL
+  SELECT doc_b, doc_a FROM cedges
+),
+walk(node, lbl) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT p.d, w.lbl FROM walk w JOIN sym p ON p.s = w.node
+),
+labels AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node)
+SELECT root AS keep_id, COUNT(*) AS n_docs,
+       array_to_string(list_sort(list(node)), ',') AS members
+FROM labels GROUP BY root HAVING COUNT(*) >= 2 ORDER BY keep_id
+"""
+)
+
+
+@query("dedup_clusters", oracle=_DEDUP_CLUSTERS_SQL)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: the keep-set stage that turns verified pair edges
+    (exact n-gram jaccard ≥ CLUSTER_J on the MinHash-LSH candidates) into
+    connected components, keeping the min doc_id per cluster — the final
+    step of a training-data dedup sweep ("drop all but one per cluster").
+
+    Scale shape: the edge set is the already-bucketed LSH candidate output
+    (never all-pairs), and components run through the shared hybrid CC
+    machinery (driver label-prop under DRIVER_CC_MAX_PAIRS, distributed
+    large-star/small-star beyond — operators.topology.connected_components).
+    Full-funnel DuckDB oracle: shingle→minhash→banding→exact-jaccard edges,
+    then a recursive-CTE min-label reachability walk, exactly the engine's
+    component-min root rule."""
+    from etf_topox_spark.operators.topology import connected_components
+
+    corpus = _mutated_corpus(T(spark, sf_dir, "documents"))
+    edges = ngram_jaccard_pairs(corpus, spark).filter(
+        F.col("jaccard") >= CLUSTER_J
+    )
+    roots = connected_components(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labeled = (
+        corpus.select("doc_id")
+        .join(roots, corpus.doc_id == roots.node, "left")
+        .select("doc_id", F.coalesce("root", "doc_id").alias("root"))
+    )
+    return (
+        labeled.groupBy("root")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("root").alias("keep_id"), "n_docs", "members")
+        .orderBy("keep_id")
     )

@@ -227,3 +227,73 @@ def image_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= HAM_T)
         .orderBy("img_a", "img_b")
     )
+
+
+# --- phash hamming kNN (image similarity search, training-data op × image axis) --
+
+K_PHASH = 5
+N_PHASH_PROBES = 40
+
+_PHASH_KNN_SQL = f"""
+WITH {_PHASH_CORPUS_SQL},
+probes AS (
+  SELECT printf('img-%012d', i) AS probe_id, phash FROM ph WHERE i < {N_PHASH_PROBES}
+),
+scored AS (
+  SELECT p.probe_id, c.image_id AS neighbor_id,
+         CAST(bit_count(xor(p.phash, c.phash)) AS INT) AS hamming
+  FROM probes p JOIN corpus c ON c.image_id <> p.probe_id
+),
+ranked AS (
+  SELECT probe_id, neighbor_id, hamming,
+         ROW_NUMBER() OVER (PARTITION BY probe_id
+                            ORDER BY hamming, neighbor_id) AS rk
+  FROM scored
+)
+SELECT probe_id, neighbor_id, hamming, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {K_PHASH} ORDER BY probe_id, rk
+"""
+
+
+@query("image_phash_knn", oracle=_PHASH_KNN_SQL)
+def image_phash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K most-similar images per probe by phash hamming distance —
+    exact similarity search over the perceptual-hash space (the image twin
+    of ann_cosine_topk's brute-force baseline).
+
+    Scale shape: the probe set broadcasts (a query batch is small by
+    definition); the corpus scan is embarrassingly parallel map-side
+    hamming (BroadcastNestedLoopJoin — no corpus shuffle), and only the
+    tiny scored top-K candidates flow into the per-probe rank window.
+    Ties break on neighbor_id, so the result is a deterministic total
+    order. Full-funnel DuckDB oracle: phashes re-derived bit-for-bit from
+    the deterministic pixel formula (see _PHASH_CORPUS_SQL), then the same
+    scan + rank replayed symbolically."""
+    from pyspark.sql import Window
+
+    base = synthetic_images(spark, N_PHASH_IMAGES)
+    dups = (
+        base.filter(F.substring("image_id", -6, 6).cast("int") < N_DUP_IMAGES)
+        .withColumn("image_id", F.concat(F.lit(DUP_PREFIX), F.col("image_id")))
+    )
+    corpus = base.unionByName(dups).select("image_id", "phash")
+    probes = F.broadcast(
+        base.filter(F.substring("image_id", -6, 6).cast("int") < N_PHASH_PROBES)
+        .select(F.col("image_id").alias("probe_id"), F.col("phash").alias("p_phash"))
+    )
+    scored = (
+        corpus.join(probes, F.col("image_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            F.col("image_id").alias("neighbor_id"),
+            F.bit_count(F.col("p_phash").bitwiseXOR(F.col("phash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= K_PHASH)
+        .orderBy("probe_id", "rk")
+    )

@@ -483,3 +483,105 @@ from etf_topox_spark.sql import ANSI_NATION_BALANCES, register_views  # noqa: E4
 def sql_entrypoint_nation_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(ANSI_NATION_BALANCES)
+
+
+# --------------------------------------------------------------------------
+# J15: runtime bloom-filter join pruning (the scale path for selective joins)
+# --------------------------------------------------------------------------
+
+BLOOM_M_BITS = 1 << 17  # 16 KiB bitset — broadcastable at any scale
+BLOOM_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+BLOOM_NATION = 3
+
+
+def _bloom_positions(keys) -> "np.ndarray":
+    """(n, k) bit positions via the splitmix64 finalizer over key^seed —
+    pure uint64 numpy, identical on driver and executors."""
+    import numpy as np
+
+    x = keys.astype(np.uint64)[:, None] ^ np.array(BLOOM_SEEDS, np.uint64)[None, :]
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return (x % np.uint64(BLOOM_M_BITS)).astype(np.int64)
+
+
+def bloom_build(keys_df: DataFrame, col: str) -> "np.ndarray":
+    """Distributed bloom build: executors emit each key's distinct bit
+    positions (map-side, deduped per batch), ONE distinct() exchange of at
+    most BLOOM_M_BITS ints reaches the driver, which packs the bitset.
+    Never collects the keys themselves — the 100 TB build path."""
+    import numpy as np
+    import pandas as pd
+
+    def pos_kernel(batches):
+        for pdf in batches:
+            p = _bloom_positions(pdf[col].to_numpy())
+            yield pd.DataFrame({"pos": np.unique(p)})
+
+    pos = (
+        keys_df.select(col).mapInPandas(pos_kernel, "pos long").distinct().toPandas()
+    )
+    bits = np.zeros(BLOOM_M_BITS // 64, np.uint64)
+    p = pos["pos"].to_numpy()
+    np.bitwise_or.at(bits, p // 64, np.uint64(1) << (p % 64).astype(np.uint64))
+    return bits
+
+
+def bloom_prune(df: DataFrame, col: str, bits) -> DataFrame:
+    """Map-side membership pre-filter: keep rows whose key hits all k bloom
+    bits (no false negatives; false positives removed by the exact join
+    that follows). Arrow-vectorized, zero shuffle."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(bits)
+
+    def kernel(batches):
+        bs = bc.value
+        for pdf in batches:
+            p = _bloom_positions(pdf[col].to_numpy())
+            hit = (bs[p // 64] >> (p % 64).astype(np.uint64)) & np.uint64(1)
+            yield pdf[hit.all(axis=1)]
+
+    return df.mapInPandas(kernel, df.schema)
+
+
+@query(
+    "join_bloom_pruned",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_nationkey = {BLOOM_NATION}
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-to-fact join accelerated by a runtime bloom filter —
+    the engine-level twin of Spark's runtime row-group filters: the
+    qualifying orderkey set (orders of one nation's customers, ~4% of
+    rows) is summarized into a 16 KiB bitset, broadcast, and applied as a
+    map-side prune on the lineitem scan BEFORE the join shuffle, so ~96%
+    of the fact table never crosses the exchange. False positives are
+    removed by the exact join that follows, so the result — and the
+    oracle — is the plain three-way join."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer").filter(F.col("c_nationkey") == BLOOM_NATION)
+    keys = o.join(
+        F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"), "left_semi"
+    ).select("o_orderkey")
+    bits = bloom_build(keys, "o_orderkey")
+    pruned = bloom_prune(li.select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey", bits)
+    return (
+        pruned.join(keys, pruned.l_orderkey == keys.o_orderkey)
+        .groupBy(F.col("l_orderkey").alias("orderkey"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("orderkey")
+    )

@@ -214,3 +214,24 @@ def test_copy_pairs_detects_all_planted_offsets(spark):
     got = set(zip(pdf.doc_a, pdf.doc_b))
     want = {(i, i + COPY_OFFSET) for i in range(N_COPIED)}
     assert want <= got, sorted(want - got)
+
+
+def test_dedup_clusters_contain_planted_copies(spark, sf_smoke):
+    """Every planted near-dup (doc i ↔ i+MUT_OFFSET) must land in the same
+    cluster, with the original (min id) as the cluster's keep_id."""
+    got = QUERIES["dedup_clusters"](spark, sf_smoke).toPandas()
+    member_sets = {
+        row.keep_id: set(int(v) for v in row.members.split(","))
+        for row in got.itertuples()
+    }
+    # invariants: keep_id is the min member; members are disjoint
+    seen: set[int] = set()
+    for keep, mem in member_sets.items():
+        assert keep == min(mem)
+        assert not (seen & mem)
+        seen |= mem
+    for d in range(N_MUTATED):
+        cluster = next((m for m in member_sets.values() if d in m), None)
+        assert cluster is not None and d + MUT_OFFSET in cluster, (
+            f"planted pair ({d},{d + MUT_OFFSET}) not co-clustered"
+        )

@@ -130,3 +130,28 @@ def test_image_dedup_phash_exact_expected_set(spark):
         for r in image_dedup_phash(spark, "/root/testdata/sf0.01").collect()
     }
     assert got == expected
+
+
+def test_phash_knn_planted_dups_rank_first(spark):
+    """Probes with a planted exact copy (i < N_DUP_IMAGES) must see it as
+    their rank-1 neighbor at hamming 0; every probe returns exactly K rows
+    in non-decreasing hamming order."""
+    from etf_topox_spark.operators.image_queries import (
+        DUP_PREFIX,
+        K_PHASH,
+        N_DUP_IMAGES,
+        N_PHASH_PROBES,
+        image_phash_knn,
+    )
+
+    got = image_phash_knn(spark, "/root/testdata/sf0.01").toPandas()
+    assert len(got) == N_PHASH_PROBES * K_PHASH
+    for pid, grp in got.groupby("probe_id"):
+        grp = grp.sort_values("rk")
+        assert list(grp["rk"]) == list(range(1, K_PHASH + 1))
+        assert (grp["hamming"].diff().dropna() >= 0).all()
+        i = int(pid[-6:])
+        if i < N_DUP_IMAGES:
+            first = grp.iloc[0]
+            assert first["neighbor_id"] == DUP_PREFIX + pid
+            assert first["hamming"] == 0
