@@ -297,3 +297,114 @@ def image_phash_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= K_PHASH)
         .orderBy("probe_id", "rk")
     )
+
+
+# --- zonal statistics (raster↔vector: per-zone aggregate of tile pixels) -----
+
+_ZONAL_SQL = f"""
+WITH par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base,
+         CAST((i * {GEO_KX}) % {GEO_M} AS DOUBLE) / {GEO_DIV} AS lon,
+         CAST((i * {GEO_KY}) % {GEO_M} AS DOUBLE) / {GEO_DIV} AS lat
+  FROM (SELECT unnest(range({N_IMAGES})) AS i)
+),
+px AS (SELECT i, w, h, base, lon, lat, unnest(range(w * h)) AS p FROM par),
+gray AS (
+  SELECT i, lon, lat,
+         (p % w) // {TILE} AS tx, (p // w) // {TILE} AS ty,
+         (  ((base + 3 * (p % w) + 5 * (p // w)) % 256)
+          + ((base * 7 + 11 * (p % w) + 2 * (p // w) + ((p % w) * (p // w)) % 17) % 256)
+          + ((base * 13 + (p % w) // 2 + 7 * (p // w)) % 256)) // 3 AS g
+  FROM px
+),
+tsum AS (
+  SELECT i, tx, ty, ANY_VALUE(lon) AS lon, ANY_VALUE(lat) AS lat,
+         SUM(g) AS gsum, COUNT(*) AS npx
+  FROM gray GROUP BY 1, 2, 3
+),
+centers AS (
+  SELECT *, lon + CAST(tx * {TILE} + {TILE // 2} AS DOUBLE) / 1024.0 AS cx,
+            lat + CAST(ty * {TILE} + {TILE // 2} AS DOUBLE) / 1024.0 AS cy
+  FROM tsum
+),
+assigned AS (
+  SELECT CAST((CASE WHEN cy = floor(cy) AND cy > 0 THEN cy - 1 ELSE floor(cy) END) * {GRID_N}
+            + (CASE WHEN cx = floor(cx) AND cx > 0 THEN cx - 1 ELSE floor(cx) END) AS BIGINT)
+           AS feature_id,
+         gsum, npx
+  FROM centers WHERE cx <= 20.0 AND cy <= 20.0
+)
+SELECT feature_id, COUNT(*) AS n_tiles,
+       CAST(SUM(gsum) AS BIGINT) AS gray_sum,
+       CAST(SUM(npx) AS BIGINT) AS n_pixels,
+       CAST(SUM(gsum) AS DOUBLE) / CAST(SUM(npx) AS DOUBLE) AS mean_gray
+FROM assigned GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("zonal_stats", oracle=_ZONAL_SQL)
+def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the raster↔vector payoff query: aggregate pixel
+    values of every raster tile whose center falls in a vector zone (one
+    grid feature), per zone. The classic remote-sensing/geo-ML op (band
+    mean per parcel) over the engine's image+caption table.
+
+    Scale shape: tile gray sums are a pure map-side Arrow kernel over the
+    tiling output (no pixel ever crosses an exchange — only (tile, sum,
+    count) triples); zone assignment is the broadcast PIP join (J12); the
+    final per-zone rollup is one partial-aggregable groupBy on feature_id.
+    Exact across engines: all-integer pixel sums, one final double
+    division. Full-funnel DuckDB oracle re-derives every pixel from the
+    deterministic generator and replays tiling + assignment symbolically."""
+    import numpy as np
+    import pandas as pd
+
+    tiles = tile_images(synthetic_images(spark, N_IMAGES))
+
+    def kernel(batches):
+        for pdf in batches:
+            gsum = np.empty(len(pdf), np.int64)
+            npx = np.empty(len(pdf), np.int64)
+            for k, tb in enumerate(pdf["tile_bytes"]):
+                import struct
+
+                w, h = struct.unpack("<II", tb[4:12])
+                a = np.frombuffer(tb, np.uint8, count=w * h * 3, offset=12)
+                rgb = a.reshape(h, w, 3).astype(np.int64)
+                g = (rgb[:, :, 0] + rgb[:, :, 1] + rgb[:, :, 2]) // 3
+                gsum[k] = int(g.sum())
+                npx[k] = w * h
+            yield pd.DataFrame(
+                {
+                    "tile_id": pdf["tile_id"],
+                    "x": pdf["cx"],
+                    "y": pdf["cy"],
+                    "gsum": gsum,
+                    "npx": npx,
+                }
+            )
+
+    tstats = tiles.mapInPandas(
+        kernel, "tile_id long, x double, y double, gsum long, npx long"
+    )
+    rings = surface_mosaic(spark, rows=GRID_N, cols=GRID_N, defect="valid_mosaic")
+    centers = tstats.select(F.col("tile_id").alias("point_id"), "x", "y")
+    assigned = pip_join(spark, centers, rings).select(
+        F.col("point_id").alias("tile_id"), "feature_id"
+    )
+    return (
+        tstats.join(assigned, "tile_id")
+        .groupBy("feature_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tiles"),
+            F.sum("gsum").alias("gray_sum"),
+            F.sum("npx").alias("n_pixels"),
+            (F.sum("gsum").cast("double") / F.sum("npx").cast("double")).alias(
+                "mean_gray"
+            ),
+        )
+        .orderBy("feature_id")
+    )

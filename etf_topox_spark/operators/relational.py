@@ -585,3 +585,63 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic stratified sampling (training-data pipeline op)
+# --------------------------------------------------------------------------
+
+# per-stratum sampling rates in basis points of 10_000 (l_returnflag strata)
+SAMPLE_RATES_BP = {"A": 200, "N": 500, "R": 300}
+
+_SAMPLE_RATE_CASE = "CASE l_returnflag " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in SAMPLE_RATES_BP.items()
+) + " ELSE 0 END"
+
+_SAMPLE_STRATIFIED_SQL = f"""
+WITH hashed AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+         ('0x' || substr(md5(l_orderkey || '|' || l_linenumber), 1, 15))::BIGINT
+           % 10000 AS bucket
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, l_returnflag, bucket
+FROM hashed WHERE bucket < {_SAMPLE_RATE_CASE}
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("sample_stratified", oracle=_SAMPLE_STRATIFIED_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the reproducible
+    subsampling primitive of a training-data pipeline: every row maps to a
+    uniform bucket via md5 of its stable key, and each stratum keeps rows
+    under its own rate cutoff. Unlike rand()-based sampling the selection
+    is a pure function of the data, so re-runs, retries, and the DuckDB
+    oracle all agree row-for-row, and at 100 TB the operator is a
+    stateless map-side filter (no seed coordination across executors)."""
+    li = T(spark, sf_dir, "lineitem")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    rate = F.coalesce(
+        *[
+            F.when(F.col("l_returnflag") == k, F.lit(v))
+            for k, v in SAMPLE_RATES_BP.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_returnflag", bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -548,3 +548,67 @@ def text_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- corpus n-gram statistics (top-k bigrams) --------------------------------
+
+NGRAM_K = 30
+
+_NGRAM_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  -- range(10000) is only the unnest-index idiom; the driver corpus caps
+  -- at ~100 tokens/doc (verified), so no bigram is ever dropped
+  SELECT lower(t[CAST(i.range + 1 AS BIGINT)]) || ' ' ||
+         lower(t[CAST(i.range + 2 AS BIGINT)]) AS bigram
+  FROM toks, range(0, 10000) i
+  WHERE i.range < len(t) - 1
+),
+counts AS (SELECT bigram, COUNT(*) AS n FROM grams GROUP BY 1),
+ranked AS (
+  SELECT bigram, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rk
+  FROM counts
+)
+SELECT bigram, n, CAST(rk AS INT) AS rk
+FROM ranked WHERE rk <= {NGRAM_K} ORDER BY rk
+"""
+
+
+@query("text_ngram_topk", oracle=_NGRAM_TOPK_SQL)
+def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-K word bigrams — the n-gram language-model /
+    contamination-check statistic of a training-data pipeline.
+
+    Scale shape: tokens never materialize as rows per token-pair anywhere
+    except the one hash-aggregable gram exchange (map-side partial counts
+    do the heavy lifting); the final top-K is a single small sort. The
+    bigram column uses the shared [ \\t\\n\\f\\r] tokenizer so engine and
+    RE2-based oracle split identically for any input."""
+    from pyspark.sql.window import Window
+
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim("text"), _WS_RE)
+    grams = (
+        d.select(toks.alias("t"))
+        .filter(F.size("t") >= 2)  # a one-token doc has no bigram (slice(len 0) is an error)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice("t", 1, F.size("t") - 1),
+                    F.slice("t", 2, F.size("t") - 1),
+                    lambda a, b: F.concat(F.lower(a), F.lit(" "), F.lower(b)),
+                )
+            ).alias("bigram")
+        )
+    )
+    counts = grams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "bigram")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= NGRAM_K)
+        .orderBy("rk")
+    )

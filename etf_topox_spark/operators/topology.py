@@ -490,15 +490,45 @@ def free_standing_errors(
     # approach: run CC on (theme, src, dst) by packing theme into the id is
     # overkill here — feature_ids are globally unique in this engine.
     spark = stats.sparkSession
-    local = connected_components_local(pairs.select("src", "dst"))
-    if local is not None:
+    # ONE tagged-union action fetches the deduped pair set AND the feature
+    # universe under a single combined cap: the feature leg is bounded too
+    # (a graph with few shared edges but billions of features must not
+    # collect them), and the driver path costs one Spark job, not two.
+    tagged = (
+        pairs.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .select(
+            F.lit(0).alias("tag"),
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.lit(None).cast("string").alias("theme"),
+        )
+        .unionByName(
+            feats.select(
+                F.lit(1).alias("tag"),
+                F.col("feature_id").alias("a"),
+                F.lit(None).cast("long").alias("b"),
+                "theme",
+            )
+        )
+    )
+    pdf = tagged.limit(DRIVER_CC_MAX_PAIRS + 1).toPandas()
+    if len(pdf) <= DRIVER_CC_MAX_PAIRS:
         # CC fit on the driver → finish the tiny label algebra there too
         # (comp sizes, per-theme main root, stray set) instead of a chain
         # of small-shuffle Spark jobs
-        fpdf = feats.toPandas()
-        m = fpdf.merge(
-            local.rename(columns={"node": "feature_id"}), on="feature_id", how="left"
-        )
+        pp = pdf[pdf["tag"] == 0]
+        src = pp["a"].to_numpy().astype(np.int64)
+        dst = pp["b"].to_numpy().astype(np.int64)
+        if len(src):
+            nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+            labels = _minlabel_prop(inv[: len(src)], inv[len(src):], len(nodes))
+            local = pd.DataFrame({"feature_id": nodes, "root": nodes[labels]})
+        else:
+            local = pd.DataFrame({"feature_id": [], "root": []}, dtype=np.int64)
+        fpdf = pdf[pdf["tag"] == 1][["theme", "a"]].rename(columns={"a": "feature_id"})
+        m = fpdf.merge(local, on="feature_id", how="left")
         m["root"] = m["root"].fillna(m["feature_id"]).astype(np.int64)
         sizes = m.groupby(["theme", "root"]).size().reset_index(name="sz")
         main_rows = (

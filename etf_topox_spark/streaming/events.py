@@ -238,3 +238,63 @@ def streaming_stateful_tally(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("n_events").alias("n_events"), F.max("max_value").alias("max_value"))
         .orderBy("user_id")
     )
+
+
+# --- T7: watermarked stream-stream interval join -------------------------------
+
+# batch twin: the availableNow replay delivers everything before any
+# watermark closes, and inner stream-stream joins emit matches as they
+# form (the watermark only bounds state retention), so the streaming
+# result equals the batch interval join exactly.
+_SS_JOIN_ORACLE = """
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+    FROM events v JOIN events c
+      ON c.user_id = v.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+    ORDER BY view_id, click_id
+"""
+
+
+@query("streaming_stream_stream_join", oracle=_SS_JOIN_ORACLE)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→click attribution as a watermarked stream-stream self-join:
+    each 'view' joins every click by the same user within the following
+    4 hours. Both sides carry watermarks so the join state is bounded
+    (Spark drops buffered rows once the other side's watermark passes the
+    interval bound) — the unbounded-state hazard of stream-stream joins is
+    exactly what the time-range condition + watermark pair solves at
+    scale."""
+    s = events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "300 minutes")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "300 minutes")
+    )
+    j = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 240 MINUTES")),
+    )
+    out = run_to_memory(j, f"ss_join_{abs(hash(sf_dir)) % 10**6}", "append")
+    return out.select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    ).orderBy("view_id", "click_id")

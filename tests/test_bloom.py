@@ -44,3 +44,20 @@ def test_bloom_prune_no_false_negatives_and_real_pruning(spark, sf_smoke):
     # and the prune is a prune: most of the fact table is gone
     assert len(kept_keys) < 0.25 * len(li_keys)
     assert kept.count() < 0.25 * total
+
+
+def test_sample_stratified_rates_and_determinism(spark, sf_smoke):
+    from etf_topox_spark.operators.relational import SAMPLE_RATES_BP, sample_stratified
+    from etf_topox_spark.sources.tables import load_table as T
+
+    a = sample_stratified(spark, sf_smoke).toPandas()
+    b = sample_stratified(spark, sf_smoke).toPandas()
+    assert a.equals(b)  # pure function of the data
+    totals = (
+        T(spark, sf_smoke, "lineitem").groupBy("l_returnflag").count().toPandas()
+        .set_index("l_returnflag")["count"]
+    )
+    got = a.groupby("l_returnflag").size()
+    for flag, bp in SAMPLE_RATES_BP.items():
+        frac = got.get(flag, 0) / totals[flag]
+        assert abs(frac - bp / 10_000) < 0.01, (flag, frac)

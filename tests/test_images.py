@@ -155,3 +155,15 @@ def test_phash_knn_planted_dups_rank_first(spark):
             first = grp.iloc[0]
             assert first["neighbor_id"] == DUP_PREFIX + pid
             assert first["hamming"] == 0
+
+
+def test_zonal_stats_mass_conservation(spark):
+    """Every in-grid tile lands in exactly one zone: per-zone pixel counts
+    sum to the pixel total of in-grid tiles, and means stay within [0,255]."""
+    from etf_topox_spark.operators.image_queries import zonal_stats
+
+    got = zonal_stats(spark, "/root/testdata/sf0.01").toPandas()
+    assert (got["mean_gray"] >= 0).all() and (got["mean_gray"] <= 255).all()
+    assert (got["n_pixels"] == got["n_tiles"] * 32 * 32).all()
+    assert got["feature_id"].between(0, 399).all()
+    assert got["feature_id"].is_unique

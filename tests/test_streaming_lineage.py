@@ -92,3 +92,41 @@ def test_resume_filter_is_broadcast(spark, sf_smoke):
         assert "Broadcast" in plan
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stream_stream_join_matches_batch_twin(spark, sf_smoke):
+    """The availableNow stream-stream interval join must equal the plain
+    batch interval join (all data arrives before any watermark closes)."""
+    from etf_topox_spark.registry import QUERIES
+    from etf_topox_spark.sources.tables import load_table as T
+    from pyspark.sql import functions as F
+
+    got = QUERIES["streaming_stream_stream_join"](spark, sf_smoke).toPandas()
+    ev = T(spark, sf_smoke, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id"), F.col("ts").alias("vts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+    )
+    batch = (
+        v.join(
+            c,
+            (F.col("user_id") == F.col("cu"))
+            & (F.col("cts") >= F.col("vts"))
+            & (F.col("cts") <= F.col("vts") + F.expr("INTERVAL 240 MINUTES")),
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            (F.unix_micros(F.to_utc_timestamp("cts", "UTC"))
+             - F.unix_micros(F.to_utc_timestamp("vts", "UTC"))).alias("gap_us"),
+        )
+        .orderBy("view_id", "click_id")
+        .toPandas()
+    )
+    assert got.reset_index(drop=True).equals(batch.reset_index(drop=True))
+    assert (got["gap_us"] >= 0).all() and (got["gap_us"] <= 240 * 60 * 1_000_000).all()
