@@ -170,6 +170,59 @@ def run_suite(cpus: str) -> dict:
     }
 
 
+_HEALTH_WORKER_CODE = """
+import time, numpy as np
+b = np.random.rand(800, 800)
+t = time.time(); r = 0
+while time.time() - t < 1.0:
+    b @ b; r += 1
+print(r)
+"""
+
+
+def host_health_probe() -> dict:
+    """~3-second hardware-health fingerprint recorded with every bench line,
+    so a regression in absolute numbers is attributable: this sandbox's
+    host is shared, and steal time under load has been observed to swallow
+    a large share of cycles in bad windows (identical code, identical
+    input). Each worker is a fresh subprocess pinned to ONE BLAS thread
+    (OPENBLAS/OMP_NUM_THREADS=1 — a forked pool would inherit 32-thread
+    BLAS and measure its own thrash, not the host). Reports single-process
+    and 32-way aggregate GFLOPS plus the steal/system shares measured
+    DURING the parallel burn."""
+
+    def stat():
+        return list(map(int, open("/proc/stat").readline().split()[1:]))
+
+    env = dict(os.environ, OPENBLAS_NUM_THREADS="1", OMP_NUM_THREADS="1",
+               MKL_NUM_THREADS="1")
+    flop = 2 * 800**3
+
+    def spawn():
+        return subprocess.Popen(
+            [sys.executable, "-c", _HEALTH_WORKER_CODE],
+            env=env, stdout=subprocess.PIPE, text=True,
+        )
+
+    p = spawn()
+    st_reps = int(p.communicate()[0].strip())
+
+    before = stat()
+    t0 = time.time()
+    procs = [spawn() for _ in range(32)]
+    counts = [int(q.communicate()[0].strip()) for q in procs]
+    wall = time.time() - t0
+    after = stat()
+    d = [x - y for x, y in zip(after, before)]
+    tot = sum(d) or 1
+    return {
+        "st_gflops": round(st_reps * flop / 1e9, 1),
+        "mt_gflops": round(sum(counts) * flop / wall / 1e9, 1),
+        "steal_pct": round(100 * d[7] / tot, 1),
+        "sys_pct": round(100 * d[2] / tot, 1),
+    }
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         cpu_levels = os.environ.get("SPARK_GRAFT_SCALING_CPUS", "2,8,32").split(",")
@@ -309,6 +362,7 @@ def main() -> None:
         return
 
     res = run_suite(CPUS)
+    res["env"] = host_health_probe()
     print(json.dumps(res))
 
 

@@ -258,16 +258,19 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = d.count()
+    # corpus size as a broadcast 1-row aggregate, NOT an eager d.count():
+    # the whole query stays one lazy plan (no separate action per call)
+    nd = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     from pyspark.sql.window import Window as W
 
     win = W.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(nd))
         .withColumn(
             "score",
             F.col("tf").cast("double")
-            * (F.lit(float(n_docs)) / F.col("df").cast("double")),
+            * (F.col("n_docs") / F.col("df").cast("double")),
         )
         .withColumn("rn", F.row_number().over(win))
         .filter(F.col("rn") <= TFIDF_K)

@@ -177,3 +177,24 @@ def test_sql_entrypoint_udfs(spark):
     expect_p = int(C.cell_to_parent(np.array([expect_c]), 4)[0])
     assert row["c"] == expect_c
     assert row["p"] == expect_p
+
+
+def test_phash_knn_probes_broadcast(spark):
+    # the probe side must broadcast: corpus never shuffles for the scan
+    plan = _plan(QUERIES["image_phash_knn"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "Broadcast" in plan
+
+
+def test_bloom_prune_is_map_side(spark):
+    # the bloom prune is a MapInPandas directly over the scan — the fact
+    # table must not pass through any exchange before the membership filter
+    from etf_topox_spark.operators.relational import bloom_prune
+    from etf_topox_spark.sources.tables import load_table as T
+    import numpy as np
+
+    li = T(spark, SF, "lineitem").select("l_orderkey")
+    pruned = bloom_prune(li, "l_orderkey", np.zeros((1 << 17) // 64, np.uint64))
+    plan = _plan(pruned)
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
