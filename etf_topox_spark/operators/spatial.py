@@ -177,44 +177,93 @@ def _collect_cell_index(rings: DataFrame, res: int):
     """Driver-side cell→flattened-segments index for the broadcast PIP
     strategy. Returns {cell: (x1, y1, x2, y2, reduceat_offsets, feats)}
     with int-scaled coords — the same exact arithmetic as the cogroup
-    kernel, so both strategies are value-identical."""
-    rows = (
-        rings.groupBy("feature_id")
-        .agg(F.collect_list(F.struct("xs", "ys")).alias("rings"))
-        .collect()
+    kernel, so both strategies are value-identical.
+
+    Bulk numpy build: ring coords flatten into ONE array, segments fall out
+    of two boolean masks (drop each ring's last point for p1 / first for
+    p2), per-feature bboxes are reduceat folds, the cell cover is the
+    repeat/arange grid expansion, and the per-(cell, feature) segment
+    gather is one fancy-index — no per-ring or per-feature Python loop, so
+    raising broadcast_max_vertices no longer raises driver build time
+    superlinearly (round-2 review note)."""
+    pdf = (
+        rings.select("feature_id", "xs", "ys")
+        .toPandas()
+        .sort_values("feature_id", kind="mergesort", ignore_index=True)
     )
-    per_cell: dict = {}
-    for r in rows:
-        fid = r["feature_id"]
-        segs = []
-        xmin = ymin = np.inf
-        xmax = ymax = -np.inf
-        for ring in r["rings"]:
-            xs = np.asarray(ring["xs"], np.float64)
-            ys = np.asarray(ring["ys"], np.float64)
-            segs.append((coord_to_int(xs[:-1]), coord_to_int(ys[:-1]),
-                         coord_to_int(xs[1:]), coord_to_int(ys[1:])))
-            xmin, xmax = min(xmin, xs.min()), max(xmax, xs.max())
-            ymin, ymax = min(ymin, ys.min()), max(ymax, ys.max())
-        cover = C.bbox_cover(
-            np.array([xmin]), np.array([ymin]), np.array([xmax]), np.array([ymax]), res
-        )[0]
-        for cell in cover:
-            per_cell.setdefault(int(cell), []).append((fid, segs))
+    if len(pdf) == 0:
+        return {}
+    xs_list = [np.asarray(a, np.float64) for a in pdf["xs"]]
+    ys_list = [np.asarray(a, np.float64) for a in pdf["ys"]]
+    lens = np.fromiter((len(a) for a in xs_list), np.int64, len(xs_list))
+    keep = lens > 0
+    if not keep.all():
+        xs_list = [a for a, k in zip(xs_list, keep) if k]
+        ys_list = [a for a, k in zip(ys_list, keep) if k]
+        pdf = pdf[keep].reset_index(drop=True)
+        lens = lens[keep]
+    fx = np.concatenate(xs_list)
+    fy = np.concatenate(ys_list)
+    ax, ay = coord_to_int(fx), coord_to_int(fy)
+    row_fid = pdf["feature_id"].to_numpy()
+    pt_ends = np.cumsum(lens)
+    pt_starts = pt_ends - lens
+    # per-ring segments from the flat arrays: p1 drops ring-last, p2 ring-first
+    m1 = np.ones(pt_ends[-1], bool); m1[pt_ends - 1] = False
+    m2 = np.ones(pt_ends[-1], bool); m2[pt_starts] = False
+    x1, y1, x2, y2 = ax[m1], ay[m1], ax[m2], ay[m2]
+    # feature row-groups (rows sorted by feature_id → segments are
+    # feature-contiguous in the flat segment arrays)
+    f_row_starts = np.flatnonzero(
+        np.concatenate(([True], row_fid[1:] != row_fid[:-1]))
+    )
+    f_row_ends = np.concatenate((f_row_starts[1:], [len(row_fid)]))
+    fids = row_fid[f_row_starts]
+    seg_cum = np.concatenate(([0], np.cumsum(lens - 1)))
+    seg_start_f = seg_cum[f_row_starts]
+    seg_cnt_f = seg_cum[f_row_ends] - seg_start_f
+    # per-feature bbox over the flat float coords
+    f_pt_starts = np.concatenate(([0], pt_ends))[f_row_starts]
+    xmin = np.minimum.reduceat(fx, f_pt_starts)
+    xmax = np.maximum.reduceat(fx, f_pt_starts)
+    ymin = np.minimum.reduceat(fy, f_pt_starts)
+    ymax = np.maximum.reduceat(fy, f_pt_starts)
+    # vectorized bbox cover (the grid expansion bbox_cover loops per box)
+    n = np.int64(1) << np.int64(res)
+    cx0 = np.clip(np.floor((xmin + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    cx1 = np.clip(np.floor((xmax + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    cy0 = np.clip(np.floor((ymin + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    cy1 = np.clip(np.floor((ymax + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    ch = cy1 - cy0 + 1
+    cnt = (cx1 - cx0 + 1) * ch
+    tot = int(cnt.sum())
+    ofs = np.cumsum(cnt) - cnt
+    k = np.arange(tot, dtype=np.int64) - np.repeat(ofs, cnt)
+    gx = np.repeat(cx0, cnt) + k // np.repeat(ch, cnt)
+    gy = np.repeat(cy0, cnt) + k % np.repeat(ch, cnt)
+    pair_cell = C._xy_to_cell(gx.astype(np.uint64), gy.astype(np.uint64), res)
+    pair_feat = np.repeat(np.arange(len(fids), dtype=np.int64), cnt)
+    # sort pairs by cell, gather each pair's segment range with one index
+    order = np.argsort(pair_cell, kind="stable")
+    pc, pf = pair_cell[order], pair_feat[order]
+    pcnt = seg_cnt_f[pf]
+    pofs = np.cumsum(pcnt) - pcnt
+    big = (
+        np.arange(int(pcnt.sum()), dtype=np.int64)
+        - np.repeat(pofs, pcnt)
+        + np.repeat(seg_start_f[pf], pcnt)
+    )
+    gx1, gy1, gx2, gy2 = x1[big], y1[big], x2[big], y2[big]
+    cell_starts = np.flatnonzero(np.concatenate(([True], pc[1:] != pc[:-1])))
+    cell_ends = np.concatenate((cell_starts[1:], [len(pc)]))
     index = {}
-    for cell, plist in per_cell.items():
-        x1s, y1s, x2s, y2s, bounds, feats = [], [], [], [], [0], []
-        for fid, segs in plist:
-            n_seg = 0
-            for sx1, sy1, sx2, sy2 in segs:
-                x1s.append(sx1); y1s.append(sy1); x2s.append(sx2); y2s.append(sy2)
-                n_seg += len(sx1)
-            bounds.append(bounds[-1] + n_seg)
-            feats.append(fid)
-        index[cell] = (
-            np.concatenate(x1s), np.concatenate(y1s),
-            np.concatenate(x2s), np.concatenate(y2s),
-            np.asarray(bounds[:-1], np.int64), np.asarray(feats, np.int64),
+    for s, e in zip(cell_starts, cell_ends):
+        o0 = pofs[s]
+        o1 = pofs[e - 1] + pcnt[e - 1]
+        index[int(pc[s])] = (
+            gx1[o0:o1], gy1[o0:o1], gx2[o0:o1], gy2[o0:o1],
+            (pofs[s:e] - o0).astype(np.int64),
+            fids[pf[s:e]],
         )
     return index
 
