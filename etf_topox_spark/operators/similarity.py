@@ -582,3 +582,127 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= K)
         .select("query_id", "neighbor_id", "cosine", "rn")
     )
+
+
+# --- kNN majority-vote label classification (label propagation primitive) -------
+
+N_CLS_PROBES = 20
+CLS_K = 7
+
+_KNN_CLASSIFY_SQL = f"""
+WITH q AS (SELECT vec_id AS query_id, label AS true_label,
+                  CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id >= 100 AND vec_id < {100 + N_CLS_PROBES}),
+c AS (SELECT vec_id AS neighbor_id, label, CAST(embedding AS DOUBLE[]) AS ce
+      FROM embeddings),
+s AS (SELECT query_id, true_label, neighbor_id, label, {_COS_SQL_EXPR} AS cosine
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, true_label, label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM s),
+votes AS (SELECT query_id, true_label, label, COUNT(*) AS n_votes
+          FROM r WHERE rn <= {CLS_K} GROUP BY 1, 2, 3),
+best AS (SELECT query_id, true_label, label AS pred_label, n_votes,
+                ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label) AS vr
+         FROM votes)
+SELECT query_id, pred_label, CAST(n_votes AS BIGINT) AS n_votes, true_label
+FROM best WHERE vr = 1 ORDER BY query_id
+"""
+
+
+@query("ann_knn_classify", oracle=_KNN_CLASSIFY_SQL)
+def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN majority-vote label prediction over the embedding corpus — the
+    label-propagation / quality-classifier primitive of a training-data
+    pipeline (predict a label for unlabeled rows from their nearest
+    labeled neighbors). Ties break to the smaller label, neighbor-rank
+    ties to the smaller vec_id — the result is a deterministic total
+    order, so the DuckDB twin reproduces it bit-exactly.
+
+    Scale shape: same as ann_cosine_topk — the probe batch broadcasts,
+    the corpus scan stays map-side, and only probe×K vote rows shuffle
+    into the tiny vote aggregation. The corpus-scan stage swaps for the
+    IVF path (ann_ivf_topk) unchanged when the corpus outgrows a scan."""
+    em = T(spark, sf_dir, "embeddings")
+    q = em.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + N_CLS_PROBES)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("qe"),
+    )
+    c = em.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("ce"),
+    )
+    win = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    topk = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine_cols())
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= CLS_K)
+    )
+    votes = topk.groupBy("query_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    vwin = W.partitionBy("query_id").orderBy(F.col("n_votes").desc(), "label")
+    return (
+        votes.withColumn("vr", F.row_number().over(vwin))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("pred_label"),
+            "n_votes",
+            "true_label",
+        )
+        .orderBy("query_id")
+    )
+
+
+# --- per-label centroids (prototype embeddings) ----------------------------------
+
+_CENTROID_SQL = f"""
+WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+dims AS (
+  SELECT label, d, u
+  FROM (SELECT label, unnest(ce) AS u, unnest(range(1, {DIM} + 1)) AS d FROM e)
+)
+SELECT label, CAST(d AS INT) AS dim,
+       CAST(SUM(CAST(u AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS centroid,
+       COUNT(*) AS n_vecs
+FROM dims GROUP BY 1, 2 ORDER BY label, dim
+"""
+
+
+@query("embedding_centroids", oracle=_CENTROID_SQL)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class prototypes) — the building block of
+    centroid classifiers, drift monitors, and coreset selection. Exact
+    across engines: each coordinate is rounded to DECIMAL(30,6) before the
+    sum (deterministic round of an IEEE double), summed exactly in any
+    order, then one double division — the dsum pattern applied per
+    dimension. Scale shape: posexplode → ONE partial-aggregable groupBy on
+    (label, dim); no window, no collect."""
+    from pyspark.sql.types import DecimalType
+
+    em = T(spark, sf_dir, "embeddings")
+    dims = em.select(
+        "label",
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "d0", "u"
+        ),
+    )
+    return (
+        dims.groupBy("label", (F.col("d0") + 1).cast("int").alias("dim"))
+        .agg(
+            (
+                F.sum(F.col("u").cast(DecimalType(30, 6))).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("label", "dim")
+    )

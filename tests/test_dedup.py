@@ -235,3 +235,19 @@ def test_dedup_clusters_contain_planted_copies(spark, sf_smoke):
         assert cluster is not None and d + MUT_OFFSET in cluster, (
             f"planted pair ({d},{d + MUT_OFFSET}) not co-clustered"
         )
+
+
+def test_knn_classify_and_centroid_invariants(spark, sf_smoke):
+    from etf_topox_spark.operators.similarity import CLS_K, DIM, N_CLS_PROBES
+
+    cls = QUERIES["ann_knn_classify"](spark, sf_smoke).toPandas()
+    assert len(cls) == N_CLS_PROBES
+    assert cls["query_id"].is_unique
+    assert cls["n_votes"].between(1, CLS_K).all()
+
+    cen = QUERIES["embedding_centroids"](spark, sf_smoke).toPandas()
+    # every label carries exactly DIM dims with one shared n_vecs
+    per = cen.groupby("label")
+    assert (per.size() == DIM).all()
+    assert (per["n_vecs"].nunique() == 1).all()
+    assert cen["n_vecs"].sum() == cen["n_vecs"].iloc[0:0].sum() + per["n_vecs"].first().sum() * DIM
