@@ -39,3 +39,33 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert "sum_qty" in df.columns
+
+
+def test_entry_idempotent(spark):
+    import __spark_entry__ as entry_mod
+
+    a = entry_mod.entry(spark).toPandas()
+    b = entry_mod.entry(spark).toPandas()
+    assert a.equals(b)
+
+
+def test_trailing_slash_sf_dir(spark, sf_smoke):
+    a = QUERIES["q1_pricing_summary"](spark, sf_smoke).toPandas()
+    b = QUERIES["q1_pricing_summary"](spark, sf_smoke + "/").toPandas()
+    assert a.equals(b)
+
+
+def test_session_timezone_independence(spark, sf_smoke):
+    """The driver makes no timezone promise: timestamp results must not
+    shift under a non-UTC session TZ (events.ts is NTZ; all engine
+    arithmetic is interval/instant-based)."""
+    names = ["datetime_funcs", "window_tumbling", "join_asof", "sessionize"]
+    before = {n: QUERIES[n](spark, sf_smoke).toPandas() for n in names}
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for n in names:
+            after = QUERIES[n](spark, sf_smoke).toPandas()
+            assert after.equals(before[n]), n
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
