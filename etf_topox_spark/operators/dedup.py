@@ -568,10 +568,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CLUSTER_J = 0.6
 
-_DEDUP_CLUSTERS_SQL = (
-    # the walk CTE needs the RECURSIVE marker on the (shared) WITH head
-    _minhash_sql_body().replace("WITH corpus", "WITH RECURSIVE corpus", 1)
-    + f""",
+# shared tail: verified-edge → component-label CTEs (used by dedup_clusters
+# and dedup_keep_best); expects the _minhash_sql_body() CTE chain with the
+# RECURSIVE marker already on the WITH head
+_CLUSTER_LABELS_CTES = f""",
 counts AS (SELECT doc_id, COUNT(*) AS n FROM shash_full GROUP BY 1),
 inter AS (
   SELECT e.doc_a, e.doc_b, COUNT(xb.h) AS i
@@ -598,7 +598,13 @@ walk(node, lbl) AS (
   UNION
   SELECT p.d, w.lbl FROM walk w JOIN sym p ON p.s = w.node
 ),
-labels AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node)
+labels AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node)"""
+
+_DEDUP_CLUSTERS_SQL = (
+    # the walk CTE needs the RECURSIVE marker on the (shared) WITH head
+    _minhash_sql_body().replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _CLUSTER_LABELS_CTES
+    + """
 SELECT root AS keep_id, COUNT(*) AS n_docs,
        array_to_string(list_sort(list(node)), ',') AS members
 FROM labels GROUP BY root HAVING COUNT(*) >= 2 ORDER BY keep_id
@@ -649,4 +655,90 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select(F.col("root").alias("keep_id"), "n_docs", "members")
         .orderBy("keep_id")
+    )
+
+
+# --- survivor selection (keep-best-quality per near-dup cluster) -------------
+
+_QUALITY_CTES = r""",
+qual AS (
+  SELECT doc_id,
+         LEAST(CAST(n_tokens AS DOUBLE) / 64.0, 1.0)
+           * (CAST(n_uniq AS DOUBLE) / n_tokens) AS q
+  FROM (SELECT doc_id,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+               len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_uniq
+        FROM corpus)
+),
+sized AS (SELECT root, COUNT(*) AS n FROM labels GROUP BY 1 HAVING COUNT(*) >= 2),
+ranked AS (
+  SELECT l.root, l.node, q.q,
+         ROW_NUMBER() OVER (PARTITION BY l.root ORDER BY q.q DESC, l.node) AS rn
+  FROM labels l JOIN sized s ON s.root = l.root JOIN qual q ON q.doc_id = l.node
+)"""
+
+_KEEP_BEST_SQL = (
+    _minhash_sql_body().replace("WITH corpus", "WITH RECURSIVE corpus", 1)
+    + _CLUSTER_LABELS_CTES
+    + _QUALITY_CTES
+    + """
+SELECT r.root AS cluster_id, r.node AS survivor_id, r.q AS survivor_quality,
+       CAST(s.n - 1 AS BIGINT) AS n_dropped
+FROM ranked r JOIN sized s ON s.root = r.root
+WHERE rn = 1 ORDER BY cluster_id
+"""
+)
+
+
+@query("dedup_keep_best", oracle=_KEEP_BEST_SQL)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor selection — the step after clustering in a training-data
+    dedup sweep: per near-dup cluster keep the HIGHEST-QUALITY member (the
+    text_quality score: length-capped type-token ratio), not just the min
+    id, with doc_id as the deterministic tiebreak. Returns one row per
+    ≥2-member cluster with the survivor and how many members drop.
+
+    Scale shape: clusters come from the shared LSH-candidate → exact-verify
+    → connected-components funnel (never all-pairs); the quality score is a
+    map-side Catalyst expression on each member's text; the per-cluster
+    argmax is a window over the root key — partial-aggregable and skew-free
+    because near-dup cluster sizes are bounded in practice (and a pathological
+    giant cluster degrades to one fat window partition, not a cross join).
+    Quality doubles are bit-identical across engines (integer token counts,
+    one division, one multiply), so the argmax — and thus the survivor set —
+    is exactly reproducible; full-funnel DuckDB oracle."""
+    from pyspark.sql.window import Window
+
+    from etf_topox_spark.operators.text import _WS_RE
+    from etf_topox_spark.operators.topology import connected_components
+
+    corpus = _mutated_corpus(T(spark, sf_dir, "documents"))
+    edges = ngram_jaccard_pairs(corpus, spark).filter(F.col("jaccard") >= CLUSTER_J)
+    roots = connected_components(
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    labeled = corpus.join(roots, corpus.doc_id == roots.node, "left").select(
+        "doc_id", "text", F.coalesce("root", F.col("doc_id")).alias("root")
+    )
+    sized = (
+        labeled.groupBy("root")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    toks = F.split(F.trim("text"), _WS_RE)
+    q = F.least(F.size(toks).cast("double") / 64.0, F.lit(1.0)) * (
+        F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    )
+    scored = labeled.join(F.broadcast(sized), "root").withColumn("q", q)
+    w = Window.partitionBy("root").orderBy(F.col("q").desc(), F.col("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("root").alias("cluster_id"),
+            F.col("doc_id").alias("survivor_id"),
+            F.col("q").alias("survivor_quality"),
+            (F.col("n") - 1).cast("long").alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
     )

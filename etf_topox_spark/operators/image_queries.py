@@ -408,3 +408,199 @@ def zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("feature_id")
     )
+
+
+# --- raster overview pyramid (multi-level rollup, the COG/gdaladdo analog) ----
+
+PYR_LEVELS = 4
+N_PYR_IMAGES = 300
+
+# Exact-integer oracle: gray pixels re-derived from the deterministic
+# generator formula; level-k pooled cell = SUM of gray over the (y>>k, x>>k)
+# block (sum pooling, not mean — keeps every level in int64 with no
+# rounding), px_max = max pooled cell per level. All sizes are multiples of
+# 2^(PYR_LEVELS-1) by construction (SIZES_W/H ∈ {64, 96, 128}).
+_PYRAMID_SQL = f"""
+WITH par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_PYR_IMAGES})) AS i)
+),
+px AS (SELECT i, w, h, base, unnest(range(w * h)) AS p FROM par),
+gray AS (
+  SELECT i, w, h, (p % w) AS x, (p // w) AS y,
+         (  ((base + 3 * (p % w) + 5 * (p // w)) % 256)
+          + ((base * 7 + 11 * (p % w) + 2 * (p // w) + ((p % w) * (p // w)) % 17) % 256)
+          + ((base * 13 + (p % w) // 2 + 7 * (p // w)) % 256)) // 3 AS g
+  FROM px
+),
+lv AS (SELECT unnest(range({PYR_LEVELS})) AS level),
+cells AS (
+  SELECT i, level, w, h, (y >> level) AS cy, (x >> level) AS cx, SUM(g) AS cs
+  FROM gray, lv GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT printf('img-%012d', i) AS image_id, CAST(level AS INT) AS level,
+       CAST(w >> level AS INT) AS lw, CAST(h >> level AS INT) AS lh,
+       CAST(SUM(cs) AS BIGINT) AS px_sum, CAST(MAX(cs) AS BIGINT) AS px_max
+FROM cells GROUP BY 1, 2, 3, 4
+ORDER BY image_id, level
+"""
+
+
+@query("image_pyramid", oracle=_PYRAMID_SQL)
+def image_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster overview pyramid — per image, PYR_LEVELS levels of 2× sum
+    pooling over the gray channel (the cloud-optimized-GeoTIFF overview /
+    gdaladdo rollup, re-expressed as a map-only Arrow kernel). Level 0 is
+    the full-resolution gray raster; level k+1 pools 2×2 cells of level k,
+    so per-level totals are invariant (sum pooling) while per-level maxima
+    step up — the oracle checks both per (image, level).
+
+    Scale shape: pure mapInPandas over the image partition — no pixel ever
+    crosses an exchange; output is PYR_LEVELS summary rows per image. At
+    10^12 images the pyramid levels would persist per-partition to the
+    lineage-checkpointed sink exactly like the tiling stage (SCALE.md).
+    Exact across engines: all-integer pooling, bit-exact vs the symbolic
+    DuckDB replay of the pixel generator."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_PYR_IMAGES)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                g = (img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3
+                lvl = g
+                for k in range(PYR_LEVELS):
+                    if k > 0:
+                        lvl = (
+                            lvl[0::2, 0::2]
+                            + lvl[0::2, 1::2]
+                            + lvl[1::2, 0::2]
+                            + lvl[1::2, 1::2]
+                        )
+                    rows.append(
+                        (
+                            r.image_id,
+                            k,
+                            lvl.shape[1],
+                            lvl.shape[0],
+                            int(lvl.sum()),
+                            int(lvl.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "level", "lw", "lh", "px_sum", "px_max"]
+            )
+
+    return imgs.mapInPandas(
+        kernel, "image_id string, level int, lw int, lh int, px_sum long, px_max long"
+    ).orderBy("image_id", "level")
+
+
+# --- joint caption+phash dedup (multimodal near-dup, text-block × visual-confirm) --
+
+N_CAP_IMAGES = 1100  # > 1000 so caption (period-1000) collides for i vs i+1000
+N_CAP_DUPS = 40
+CAP_PREFIX = "cdup_"
+
+# corpus twin with captions: phash re-derived from the pixel formula (same
+# integer-threshold replay as _PHASH_CORPUS_SQL), caption from the metadata
+# cycle. The caption period is 1000, so ids i and i+1000 collide on caption
+# with DIFFERENT pixels — the visual-confirm stage must reject those unless
+# their hashes happen to be near (both engines agree either way).
+_CAP_CORPUS_SQL = f"""
+par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_CAP_IMAGES})) AS i)
+),
+px AS (SELECT i, w, h, base, unnest(range(w * h)) AS p FROM par),
+gray AS (
+  SELECT i,
+         ((p // w) // (h // 8)) AS br,
+         ((p % w) // (w // 8)) AS bc,
+         (  ((base + 3 * (p % w) + 5 * (p // w)) % 256)
+          + ((base * 7 + 11 * (p % w) + 2 * (p // w) + ((p % w) * (p // w)) % 17) % 256)
+          + ((base * 13 + (p % w) // 2 + 7 * (p // w)) % 256)) // 3 AS g
+  FROM px
+),
+blk AS (SELECT i, br, bc, SUM(g) AS s FROM gray GROUP BY 1, 2, 3),
+tot AS (SELECT i, SUM(s) AS t FROM blk GROUP BY 1),
+phu AS (
+  SELECT b.i,
+         SUM(CASE WHEN 64 * b.s > t.t
+                  THEN (1::HUGEINT << (b.br * 8 + b.bc)) ELSE 0::HUGEINT END) AS u
+  FROM blk b JOIN tot t USING (i) GROUP BY 1
+),
+ph AS (
+  SELECT i, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                      THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS phash
+  FROM phu
+),
+cap AS (
+  SELECT printf('img-%012d', i) AS image_id, phash,
+         printf('synthetic scene %d tile caption', i % 1000) AS caption
+  FROM ph
+  UNION ALL
+  SELECT '{CAP_PREFIX}' || printf('img-%012d', i), phash,
+         printf('synthetic scene %d tile caption', i % 1000)
+  FROM ph WHERE i < {N_CAP_DUPS}
+)"""
+
+_CAPTION_DEDUP_SQL = f"""
+WITH {_CAP_CORPUS_SQL}
+SELECT a.image_id AS img_a, b.image_id AS img_b, a.caption,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM cap a JOIN cap b ON a.caption = b.caption AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {HAM_T}
+ORDER BY img_a, img_b
+"""
+
+
+@query("image_caption_dedup", oracle=_CAPTION_DEDUP_SQL)
+def image_caption_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint multimodal near-dup: block on EXACT caption equality (the
+    cheap text key — a hash-partitioned self-join, no pixel ever shuffles),
+    then confirm visually with phash hamming ≤ HAM_T. The corpus plants
+    exact copies of the first N_CAP_DUPS images under new ids (caption AND
+    pixels equal → hamming 0, must surface) and, because the caption cycle
+    has period 1000 with N_CAP_IMAGES > 1000, ids i and i+1000 collide on
+    caption with different pixels — the confirm stage filters those.
+
+    Scale shape: the join key is the caption hash, so candidate generation
+    is one shuffle of (caption, phash, id) triples — 20 bytes/row, never
+    bytes. Skewed caption groups (boilerplate captions at web scale) would
+    salt exactly like join_salted_skew; here groups are ≤ 3 rows. Pure
+    Catalyst end-to-end (bit_count + xor are JVM intrinsics); full-funnel
+    DuckDB oracle re-derives phash + caption symbolically."""
+    base = synthetic_images(spark, N_CAP_IMAGES)
+    dups = (
+        base.filter(F.substring("image_id", -6, 6).cast("int") < N_CAP_DUPS)
+        .withColumn("image_id", F.concat(F.lit(CAP_PREFIX), F.col("image_id")))
+    )
+    corpus = base.unionByName(dups).select("image_id", "caption", "phash")
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).cast("int")
+    return (
+        a.join(b, "caption")
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .select(
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            F.col("caption"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAM_T)
+        .orderBy("img_a", "img_b")
+    )

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 from etf_topox_spark.operators.spatial import knn_join, pip_join
 from etf_topox_spark.registry import query
 from etf_topox_spark.sources.mosaic import surface_mosaic
-from etf_topox_spark.sources.points import points_sql, synthetic_points
+from etf_topox_spark.sources.points import DIV, KX, KY, M, points_sql, synthetic_points
 
 N_POINTS = 20000
 N_PROBES = 200
@@ -64,3 +64,227 @@ def spatial_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = synthetic_points(spark, N_PROBES, id_offset=PROBE_OFFSET)
     corpus = synthetic_points(spark, N_POINTS)
     return knn_join(spark, probes, corpus, k=K)
+
+
+# --- grid-density clustering (DBSCAN-on-cells over the cell index) -----------
+
+CLUSTER_EPS_MUL = 2.0  # cell side = 1/mul = 0.5 degrees
+CLUSTER_MINPTS = 8
+CELL_STRIDE = 64  # cell key = cx * CELL_STRIDE + cy; cy < 40 < stride
+N_RIDGE = 2000
+RIDGE_OFFSET = 2_000_000
+
+# ridge fixture: a dense diagonal streak spanning ~20 adjacent cells (the
+# base scatter alone is too uniform to form multi-cell clusters); exact
+# doubles via the int-then-one-division rule (sources.points)
+_RIDGE_SQL = f"""
+    SELECT {RIDGE_OFFSET} + j AS point_id,
+           1.0 + CAST(j * 5 AS DOUBLE) / 1000.0 AS x,
+           4.0 + CAST(j * 25 AS DOUBLE) / 10000.0 AS y
+    FROM (SELECT range AS j FROM range({N_RIDGE}))
+"""
+
+_CLUSTER_SQL = f"""
+WITH RECURSIVE pts AS ({points_sql(N_POINTS)} UNION ALL {_RIDGE_SQL}),
+cells AS (
+  SELECT CAST(floor(x * {CLUSTER_EPS_MUL}) AS BIGINT) AS cx,
+         CAST(floor(y * {CLUSTER_EPS_MUL}) AS BIGINT) AS cy
+  FROM pts
+),
+dense AS (
+  SELECT cx, cy, cx * {CELL_STRIDE} + cy AS key, COUNT(*) AS n
+  FROM cells GROUP BY 1, 2 HAVING COUNT(*) >= {CLUSTER_MINPTS}
+),
+adj AS (
+  SELECT a.key AS s, b.key AS d
+  FROM dense a JOIN dense b
+    ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 AND a.key <> b.key
+),
+walk(node, lbl) AS (
+  SELECT key, key FROM dense
+  UNION
+  SELECT p.d, w.lbl FROM walk w JOIN adj p ON p.s = w.node
+),
+labels AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node)
+SELECT l.root AS cluster_id, COUNT(*) AS n_cells, CAST(SUM(d.n) AS BIGINT) AS n_points
+FROM labels l JOIN dense d ON d.key = l.node
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _ridge_points(spark: SparkSession) -> DataFrame:
+    j = F.col("id") - RIDGE_OFFSET
+    return spark.range(RIDGE_OFFSET, RIDGE_OFFSET + N_RIDGE).select(
+        F.col("id").alias("point_id"),
+        (F.lit(1.0) + (j * 5).cast("double") / 1000.0).alias("x"),
+        (F.lit(4.0) + (j * 25).cast("double") / 10000.0).alias("y"),
+    )
+
+
+@query("spatial_cluster_points", oracle=_CLUSTER_SQL)
+def spatial_cluster_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-density clustering — DBSCAN's cell-grid variant over the
+    engine's integer cell index: points hash into eps-cells, cells at or
+    above MINPTS are core, and core cells merge across 8-neighbor
+    adjacency into clusters via the shared connected-components machinery
+    (cluster id = min cell key, the CC root rule). The fixture is the
+    skewed point scatter (one hot cell) plus a dense diagonal ridge that
+    snakes across ~20 adjacent cells — both multi-cell merge and
+    singleton-core cases are exercised.
+
+    Scale shape: ONE count-aggregate shuffle on the cell key (map-side
+    partial); the dense-cell set is then tiny by construction (density
+    threshold × bounded cell count), so adjacency is an 8-offset explode +
+    broadcast hash join (never a theta join) and CC runs on the driver
+    under DRIVER_CC_MAX_PAIRS. DBSCAN-exact point-level border handling
+    would add one more broadcast join of points against core-cell
+    neighborhoods — same exchange count. Full DuckDB oracle: recursive
+    min-label reachability walk, the engine's root rule replayed
+    symbolically."""
+    from etf_topox_spark.operators.topology import connected_components
+
+    pts = synthetic_points(spark, N_POINTS).unionByName(_ridge_points(spark))
+    mul = F.lit(CLUSTER_EPS_MUL)
+    dense = (
+        pts.select(
+            F.floor(F.col("x") * mul).cast("long").alias("cx"),
+            F.floor(F.col("y") * mul).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= CLUSTER_MINPTS)
+        .withColumn("key", F.col("cx") * CELL_STRIDE + F.col("cy"))
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)]
+    nbr = dense.select(
+        F.col("key").alias("s"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("o"),
+    ).select("s", F.col("o.cx").alias("cx"), F.col("o.cy").alias("cy"))
+    edges = nbr.join(
+        F.broadcast(dense.select("cx", "cy", F.col("key").alias("d"))), ["cx", "cy"]
+    ).filter(F.col("s") < F.col("d"))
+    roots = connected_components(
+        edges.select(F.col("s").alias("src"), F.col("d").alias("dst"))
+    )
+    labeled = dense.join(roots, dense.key == roots.node, "left").select(
+        "key", "n", F.coalesce("root", F.col("key")).alias("root")
+    )
+    return (
+        labeled.groupBy("root")
+        .agg(F.count(F.lit(1)).alias("n_cells"), F.sum("n").alias("n_points"))
+        .select(F.col("root").alias("cluster_id"), "n_cells", "n_points")
+        .orderBy("cluster_id")
+    )
+
+
+# --- polygon scalar geometry (ST_Area / ST_Perimeter / ST_Centroid analog) ----
+
+N_QUADS = 5000
+
+# irregular-but-simple quads: a side-2 square anchored on the scatter
+# lattice with each corner perturbed inside its own unit cell (so rings
+# never self-intersect and stay CCW). Exact doubles: int mod then ONE
+# division; the stat expressions below are written with IDENTICAL
+# association order on both engines, so every +,-,*,/,sqrt is the same
+# correctly-rounded IEEE op sequence → bit-equal results.
+_QUAD_CORNERS = (
+    # (corner, base dx, base dy, perturbation multipliers px, py)
+    (0, 0.0, 0.0, 3571, 2857),
+    (1, 2.0, 0.0, 6229, 4523),
+    (2, 2.0, 2.0, 9341, 7919),
+    (3, 0.0, 2.0, 5081, 8317),
+)
+
+
+def _quads_sql(n: int) -> str:
+    cols = []
+    for c, bx, by, px, py in _QUAD_CORNERS:
+        cols.append(
+            f"CAST((i * {KX}) % {M} AS DOUBLE) / {DIV} + {bx}"
+            f" + CAST((i * {px}) % 1000 AS DOUBLE) / 1000.0 AS x{c}"
+        )
+        cols.append(
+            f"CAST((i * {KY}) % {M} AS DOUBLE) / {DIV} + {by}"
+            f" + CAST((i * {py}) % 1000 AS DOUBLE) / 1000.0 AS y{c}"
+        )
+    return (
+        "SELECT i AS feature_id, "
+        + ", ".join(cols)
+        + f" FROM (SELECT range AS i FROM range({n}))"
+    )
+
+
+_POLY_STATS_SQL = f"""
+WITH q AS ({_quads_sql(N_QUADS)}),
+cr AS (
+  SELECT feature_id, x0, y0, x1, y1, x2, y2, x3, y3,
+         x0 * y1 - x1 * y0 AS c0, x1 * y2 - x2 * y1 AS c1,
+         x2 * y3 - x3 * y2 AS c2, x3 * y0 - x0 * y3 AS c3
+  FROM q
+)
+SELECT feature_id,
+       (c0 + c1 + c2 + c3) / 2.0 AS area,
+       sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))
+     + sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+     + sqrt((x3 - x2) * (x3 - x2) + (y3 - y2) * (y3 - y2))
+     + sqrt((x0 - x3) * (x0 - x3) + (y0 - y3) * (y0 - y3)) AS perimeter,
+       ((x0 + x1) * c0 + (x1 + x2) * c1 + (x2 + x3) * c2 + (x3 + x0) * c3)
+         / (3.0 * (c0 + c1 + c2 + c3)) AS centroid_x,
+       ((y0 + y1) * c0 + (y1 + y2) * c1 + (y2 + y3) * c2 + (y3 + y0) * c3)
+         / (3.0 * (c0 + c1 + c2 + c3)) AS centroid_y
+FROM cr ORDER BY feature_id
+"""
+
+
+@query("geom_polygon_stats", oracle=_POLY_STATS_SQL)
+def geom_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polygon scalar geometry — signed shoelace area, perimeter, and the
+    area-weighted centroid (the ST_Area / ST_Perimeter / ST_Centroid
+    family) over a synthetic corpus of irregular simple quads, computed
+    entirely in Catalyst scalar expressions (whole-stage codegen; zero
+    Python in the hot path, zero shuffles — a pure map over the ring
+    table). The oracle evaluates the IDENTICAL expression tree in DuckDB:
+    both engines run the same correctly-rounded IEEE op sequence, so
+    doubles match bit-for-bit with no tolerance."""
+    i = F.col("id")
+
+    def ixd(mult: int, mod: int, div: float):
+        return ((i * mult) % mod).cast("double") / div
+
+    cols = [i.alias("feature_id")]
+    for c, bx, by, px, py in _QUAD_CORNERS:
+        cols.append((ixd(KX, M, DIV) + F.lit(bx) + ixd(px, 1000, 1000.0)).alias(f"x{c}"))
+        cols.append((ixd(KY, M, DIV) + F.lit(by) + ixd(py, 1000, 1000.0)).alias(f"y{c}"))
+    q = spark.range(0, N_QUADS).select(*cols)
+    x = [F.col(f"x{c}") for c in range(4)]
+    y = [F.col(f"y{c}") for c in range(4)]
+    c_ = [x[k] * y[(k + 1) % 4] - x[(k + 1) % 4] * y[k] for k in range(4)]
+    area2 = c_[0] + c_[1] + c_[2] + c_[3]
+
+    def seg(k: int):
+        a, b = k, (k + 1) % 4
+        return F.sqrt((x[b] - x[a]) * (x[b] - x[a]) + (y[b] - y[a]) * (y[b] - y[a]))
+
+    perimeter = seg(0) + seg(1) + seg(2) + seg(3)
+    # left-assoc chains written explicitly (no 0.0 seed — it would flip the
+    # sign of a -0.0 first term and drift from the oracle's bit pattern)
+    cxt = [(x[k] + x[(k + 1) % 4]) * c_[k] for k in range(4)]
+    cyt = [(y[k] + y[(k + 1) % 4]) * c_[k] for k in range(4)]
+    cx = cxt[0] + cxt[1] + cxt[2] + cxt[3]
+    cy = cyt[0] + cyt[1] + cyt[2] + cyt[3]
+    return q.select(
+        "feature_id",
+        (area2 / 2.0).alias("area"),
+        perimeter.alias("perimeter"),
+        (cx / (F.lit(3.0) * area2)).alias("centroid_x"),
+        (cy / (F.lit(3.0) * area2)).alias("centroid_y"),
+    ).orderBy("feature_id")
