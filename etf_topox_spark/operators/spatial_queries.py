@@ -288,3 +288,66 @@ def geom_polygon_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cx / (F.lit(3.0) * area2)).alias("centroid_x"),
         (cy / (F.lit(3.0) * area2)).alias("centroid_y"),
     ).orderBy("feature_id")
+
+
+# --- k-ring density smoothing (gridded KDE / heatmap surface) ----------------
+
+_HEATMAP_SQL = f"""
+WITH pts AS ({points_sql(N_POINTS)}),
+counts AS (
+  SELECT CAST(floor(x * {CLUSTER_EPS_MUL}) AS BIGINT) AS cx,
+         CAST(floor(y * {CLUSTER_EPS_MUL}) AS BIGINT) AS cy,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+)
+SELECT a.cx, a.cy, ANY_VALUE(a.n) AS n, CAST(SUM(b.n) AS BIGINT) AS n_smooth
+FROM counts a JOIN counts b
+  ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+GROUP BY a.cx, a.cy
+ORDER BY a.cx, a.cy
+"""
+
+
+@query("spatial_heatmap_smooth", oracle=_HEATMAP_SQL)
+def spatial_heatmap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gridded density surface with 3×3 k-ring smoothing — the heatmap /
+    KDE-on-cells op (each occupied cell reports its own point count and
+    the uniform-kernel total over its 8-neighborhood). The box-kernel sum
+    is exact integers, so engine and oracle agree bit-for-bit.
+
+    Scale shape: ONE partial-aggregable count shuffle on the cell key
+    reduces 10^12 points to ≤ #occupied-cells rows; the convolution is a
+    9-offset explode + equi-join of that tiny cell table with itself (a
+    broadcast at any realistic cell count — never a theta join, never a
+    second pass over the points). Wider kernels are the same shape with
+    (2r+1)² offsets; separable kernels would do two rank-1 passes."""
+    pts = synthetic_points(spark, N_POINTS)
+    mul = F.lit(CLUSTER_EPS_MUL)
+    counts = (
+        pts.select(
+            F.floor(F.col("x") * mul).cast("long").alias("cx"),
+            F.floor(F.col("y") * mul).cast("long").alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    spread = counts.select(
+        F.col("n").alias("nb_n"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy")
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("o"),
+    ).select(F.col("o.cx").alias("cx"), F.col("o.cy").alias("cy"), "nb_n")
+    return (
+        counts.join(spread, ["cx", "cy"])
+        .groupBy("cx", "cy")
+        .agg(F.first("n").alias("n"), F.sum("nb_n").alias("n_smooth"))
+        .orderBy("cx", "cy")
+    )

@@ -155,3 +155,23 @@ def test_dedup_keep_best_survivor_is_argmax(spark, sf_oracle):
         assert r.survivor_quality == pytest.approx(quality(corpus[r.survivor_id]))
         # cluster root is the min member id; its survivor outscores the root
         assert r.survivor_quality >= quality(corpus[r.cluster_id]) - 1e-15
+
+
+def test_spatial_heatmap_smooth_invariants(spark, sf_oracle):
+    from etf_topox_spark.operators.spatial_queries import spatial_heatmap_smooth
+
+    got = spatial_heatmap_smooth(spark, sf_oracle).toPandas()
+    # every point lands in exactly one occupied cell
+    assert got["n"].sum() == 20000
+    # box kernel includes the cell itself
+    assert (got["n_smooth"] >= got["n"]).all()
+    # cross-check one cell's neighborhood total by brute force
+    ids = np.arange(20000)
+    x, y = _coords(ids)
+    cx = np.floor(x * 2.0).astype(np.int64)
+    cy = np.floor(y * 2.0).astype(np.int64)
+    r = got.iloc[len(got) // 2]
+    mask = (np.abs(cx - r["cx"]) <= 1) & (np.abs(cy - r["cy"]) <= 1)
+    assert r["n_smooth"] == int(mask.sum())
+    own = (cx == r["cx"]) & (cy == r["cy"])
+    assert r["n"] == int(own.sum())
