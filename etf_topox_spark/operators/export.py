@@ -350,6 +350,75 @@ def cell_index_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("point_id")
 
 
+# --- F9b: hierarchical cell rollup (H3 compact-style density pyramid) ----------
+
+_ROLLUP_N = 20_000
+_ROLLUP_RESES = (8, 6, 4)  # finest first; each next level re-aggregates the last
+
+
+def _cell_rollup_oracle() -> str:
+    from etf_topox_spark.sources.points import points_sql
+
+    finest = _ROLLUP_RESES[0]
+    grid = 1 << finest
+    parts = []
+    for r in _ROLLUP_RESES:
+        shift = finest - r
+        sx = _morton_spread_sql(f"(xi >> {shift})")
+        sy = _morton_spread_sql(f"(yi >> {shift})")
+        parts.append(
+            f"SELECT {r} AS res, {r << 58} | ({sx} | ({sy} << 1)) AS cell,"
+            f" COUNT(*) AS n FROM xy GROUP BY 1, 2"
+        )
+    body = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH pts AS ({points_sql(_ROLLUP_N)}),
+xy AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR((x + 180.0) / 360.0 * {grid}) AS BIGINT), 0), {grid - 1}) AS xi,
+         LEAST(GREATEST(CAST(FLOOR((y + 90.0) / 180.0 * {grid}) AS BIGINT), 0), {grid - 1}) AS yi
+  FROM pts
+)
+SELECT res, cell, n FROM ({body}) ORDER BY res, cell
+"""
+
+
+@query("cell_rollup_pyramid", oracle=_cell_rollup_oracle())
+def cell_rollup_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution density pyramid over the cell index — H3's
+    hierarchical-aggregation idiom (bin points at the finest res, then roll
+    counts up to coarser parents), the vector twin of the raster pyramid.
+
+    Scale shape: ONE partial-aggregable count shuffle touches the points;
+    every coarser level re-aggregates the ALREADY-REDUCED cell table
+    (bounded by 4^res rows regardless of point count) via the bit-shift
+    parent derivation, so the pyramid adds only log-depth shuffles over
+    tiny inputs — never a second pass over 10^12 rows. The DuckDB oracle
+    replays the Morton spread symbolically on the same shifted grid
+    coordinates (exact ints → bit-exact)."""
+    from etf_topox_spark.functions import cells as C
+    from etf_topox_spark.sources.points import synthetic_points
+
+    finest = _ROLLUP_RESES[0]
+    pts = synthetic_points(spark, _ROLLUP_N)
+    cur = (
+        pts.select(C.latlng_to_cell_udf(finest)("x", "y").alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    levels = [cur.select(F.lit(finest).alias("res"), "cell", "n")]
+    for r in _ROLLUP_RESES[1:]:
+        cur = (
+            cur.select(C.cell_to_parent_udf(r)("cell").alias("cell"), "n")
+            .groupBy("cell")
+            .agg(F.sum("n").alias("n"))
+        )
+        levels.append(cur.select(F.lit(r).alias("res"), "cell", "n"))
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out.orderBy("res", "cell")
+
+
 # --- X5: Python UDTF — the ring→edges exploder as a table function -------------
 
 def register_ring_edges_udtf(spark: SparkSession):

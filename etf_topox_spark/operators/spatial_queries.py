@@ -351,3 +351,150 @@ def spatial_heatmap_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.first("n").alias("n"), F.sum("nb_n").alias("n_smooth"))
         .orderBy("cx", "cy")
     )
+
+
+# --- ring simplification (collinear-vertex removal, ST_Simplify tol=0) -------
+
+_SIMPLIFY_GRID = 8  # 8×8 unit squares, each edge densified into 4 subsegments
+_SIMPLIFY_SUB = 4
+
+# closed-form oracle: densified lattice squares simplify back to exactly
+# their 4 corners + the closing repeat (interior points are exactly
+# collinear — quarters are exact doubles, the cross product is exactly 0.0)
+_SIMPLIFY_SQL = f"""
+WITH feat AS (
+  SELECT r.range * {_SIMPLIFY_GRID} + c.range AS feature_id,
+         CAST(c.range AS DOUBLE) AS x0, CAST(r.range AS DOUBLE) AS y0
+  FROM range(0, {_SIMPLIFY_GRID}) r, range(0, {_SIMPLIFY_GRID}) c
+)
+SELECT feature_id, CAST(i AS INTEGER) AS seq,
+  CASE i WHEN 0 THEN x0 WHEN 1 THEN x0 + 1 WHEN 2 THEN x0 + 1 WHEN 3 THEN x0 ELSE x0 END AS x,
+  CASE i WHEN 0 THEN y0 WHEN 1 THEN y0     WHEN 2 THEN y0 + 1 WHEN 3 THEN y0 + 1 ELSE y0 END AS y
+FROM feat, (SELECT unnest([0, 1, 2, 3, 4]) AS i)
+ORDER BY feature_id, seq
+"""
+
+
+@query("geom_simplify_collinear", oracle=_SIMPLIFY_SQL)
+def geom_simplify_collinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collinear-vertex removal — ST_Simplify at tolerance 0 (the lossless
+    ring-compaction every vector-tiling/export pipeline runs before
+    serializing). The fixture densifies each mosaic edge into
+    {_SIMPLIFY_SUB} exact-quarter subsegments, and the operator must
+    recover exactly the original corners: ring endpoints are always kept;
+    an interior vertex survives iff the cross product of its adjacent
+    segments is non-zero.
+
+    Scale shape: zero shuffles beyond the final presentation sort — the
+    densify is a Catalyst higher-order transform on the ring arrays, the
+    keep test is a lag/lead window WITHIN each ring partition (partitioned
+    by feature, never global), all whole-stage-codegen. At 10^9 rings this
+    is scan-bound. Douglas-Peucker at tol>0 is the same per-ring shape
+    with a stack kernel in a mapInPandas partition."""
+    rings = surface_mosaic(
+        spark, rows=_SIMPLIFY_GRID, cols=_SIMPLIFY_GRID, defect="valid_mosaic"
+    ).filter(F.col("is_exterior"))
+
+    def densify(col: str) -> F.Column:
+        # each edge (v_i, v_i+1) → SUB points at t = j/SUB (t=0 keeps v_i
+        # exactly); the ring's closing vertex is appended verbatim
+        return F.expr(
+            f"""concat(
+              flatten(transform(slice({col}, 1, size({col}) - 1), (v, i) ->
+                transform(sequence(0, {_SIMPLIFY_SUB - 1}), j ->
+                  v + (element_at({col}, i + 2) - v)
+                    * (CAST(j AS DOUBLE) / {_SIMPLIFY_SUB}.0)))),
+              array(element_at({col}, -1)))"""
+        )
+
+    d = rings.select(
+        "feature_id",
+        F.posexplode(F.arrays_zip(densify("xs").alias("x"), densify("ys").alias("y"))),
+    ).select(
+        "feature_id",
+        F.col("pos").alias("idx"),
+        F.col("col.x").alias("x"),
+        F.col("col.y").alias("y"),
+    )
+    return simplify_collinear_points(d).orderBy("feature_id", "seq")
+
+
+def simplify_collinear_points(d: DataFrame) -> DataFrame:
+    """Core keep-rule over an exploded ring-point table (feature_id, idx,
+    x, y): endpoints always survive; an interior vertex survives iff its
+    adjacent-segment cross product is non-zero. Per-ring window only —
+    no global sort, no shuffle beyond the feature partition."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("feature_id").orderBy("idx")
+    cross = (F.col("x") - F.lag("x").over(w)) * (F.lead("y").over(w) - F.col("y")) - (
+        F.col("y") - F.lag("y").over(w)
+    ) * (F.lead("x").over(w) - F.col("x"))
+    return (
+        d.withColumn("cross", cross)
+        .filter(F.col("cross").isNull() | (F.col("cross") != 0.0))
+        .withColumn("seq", (F.row_number().over(w) - F.lit(1)).cast("int"))
+        .select("feature_id", "seq", "x", "y")
+    )
+
+
+# --- trajectory step analysis (spatio-temporal window op) ---------------------
+
+N_TRAJ = 20000
+N_OBJECTS = 50  # → 400 ordered steps per object
+
+_TRAJ_SQL = f"""
+WITH pts AS ({points_sql(N_TRAJ)}),
+tr AS (
+  SELECT point_id % {N_OBJECTS} AS object_id,
+         point_id // {N_OBJECTS} AS t, x, y
+  FROM pts
+),
+st AS (
+  SELECT object_id, t, x, y,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM tr WINDOW w AS (PARTITION BY object_id ORDER BY t)
+)
+SELECT object_id, CAST(t AS BIGINT) AS t, x, y,
+       sqrt(dx * dx + dy * dy) AS step_dist
+FROM st WHERE dx IS NOT NULL
+ORDER BY object_id, t
+"""
+
+
+@query("trajectory_steps", oracle=_TRAJ_SQL)
+def trajectory_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step movement analysis over object trajectories — the
+    spatio-temporal windowing every GPS/AIS pipeline runs (step vectors,
+    distances; speeds divide by the step interval). Object id and tick
+    derive from the deterministic point corpus, so the oracle replays the
+    identical IEEE expression tree (dx*dx + dy*dy then one sqrt) and
+    matches bit-for-bit.
+
+    Scale shape: ONE hash exchange on object_id (the natural trajectory
+    partitioning — billions of objects spread evenly; a single object's
+    track fits a partition by construction), then lag windows inside each
+    partition. No global sort: the presentation orderBy is the driver
+    contract's, not the operator's."""
+    from pyspark.sql import Window
+
+    pts = synthetic_points(spark, N_TRAJ)
+    tr = pts.select(
+        (F.col("point_id") % N_OBJECTS).alias("object_id"),
+        F.floor(F.col("point_id") / N_OBJECTS).alias("t"),
+        "x",
+        "y",
+    )
+    w = Window.partitionBy("object_id").orderBy("t")
+    dx = F.col("x") - F.lag("x").over(w)
+    dy = F.col("y") - F.lag("y").over(w)
+    st = tr.select(
+        "object_id", "t", "x", "y", dx.alias("dx"), dy.alias("dy")
+    ).filter(F.col("dx").isNotNull())
+    return st.select(
+        "object_id",
+        "t",
+        "x",
+        "y",
+        F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias("step_dist"),
+    ).orderBy("object_id", "t")

@@ -175,3 +175,92 @@ def test_spatial_heatmap_smooth_invariants(spark, sf_oracle):
     assert r["n_smooth"] == int(mask.sum())
     own = (cx == r["cx"]) & (cy == r["cy"])
     assert r["n"] == int(own.sum())
+
+
+def test_cell_rollup_pyramid_levels_tile(spark, sf_oracle):
+    from etf_topox_spark.functions import cells as C
+    from etf_topox_spark.operators.export import _ROLLUP_N, _ROLLUP_RESES, cell_rollup_pyramid
+
+    got = cell_rollup_pyramid(spark, sf_oracle).toPandas()
+    # every level partitions all points
+    for r in _ROLLUP_RESES:
+        lvl = got[got["res"] == r]
+        assert lvl["n"].sum() == _ROLLUP_N
+        assert lvl["cell"].is_unique
+    # each child's count is folded into exactly its bit-shift parent
+    fine = got[got["res"] == _ROLLUP_RESES[0]]
+    for r in _ROLLUP_RESES[1:]:
+        parents = C.cell_to_parent(fine["cell"].to_numpy(), r)
+        expect = (
+            pd.DataFrame({"cell": parents, "n": fine["n"].to_numpy()})
+            .groupby("cell", as_index=False)["n"].sum()
+            .sort_values("cell").reset_index(drop=True)
+        )
+        lvl = got[got["res"] == r][["cell", "n"]].sort_values("cell").reset_index(drop=True)
+        assert lvl.reset_index(drop=True).equals(expect.astype(lvl.dtypes.to_dict()))
+
+
+def test_geom_simplify_collinear_recovers_corners(spark, sf_oracle):
+    from etf_topox_spark.operators.spatial_queries import (
+        _SIMPLIFY_GRID,
+        geom_simplify_collinear,
+    )
+
+    got = geom_simplify_collinear(spark, sf_oracle).toPandas()
+    nfeat = _SIMPLIFY_GRID * _SIMPLIFY_GRID
+    # exactly the 4 corners + closing repeat per ring survive
+    assert len(got) == nfeat * 5
+    assert (got.groupby("feature_id").size() == 5).all()
+    # ring stays closed and corners are the exact lattice points
+    for fid in (0, nfeat // 2, nfeat - 1):
+        ring = got[got["feature_id"] == fid].sort_values("seq")
+        x0, y0 = float(fid % _SIMPLIFY_GRID), float(fid // _SIMPLIFY_GRID)
+        assert ring[["x", "y"]].to_numpy().tolist() == [
+            [x0, y0], [x0 + 1, y0], [x0 + 1, y0 + 1], [x0, y0 + 1], [x0, y0],
+        ]
+
+
+def test_geom_simplify_identity_on_non_collinear_rings(spark, sf_oracle):
+    """On rings with NO collinear vertices (perturbed quads), the keep
+    rule is the identity: every vertex survives with its coords intact."""
+    from etf_topox_spark.operators.spatial_queries import simplify_collinear_points
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for fid in range(20):
+        base = rng.uniform(0, 10, 2)
+        corners = [
+            base + [0, 0] + rng.uniform(0.05, 0.95, 2),
+            base + [2, 0] + rng.uniform(0.05, 0.95, 2),
+            base + [2, 2] + rng.uniform(0.05, 0.95, 2),
+            base + [0, 2] + rng.uniform(0.05, 0.95, 2),
+        ]
+        ring = corners + [corners[0]]
+        rows += [(fid, i, float(p[0]), float(p[1])) for i, p in enumerate(ring)]
+    d = spark.createDataFrame(rows, "feature_id long, idx int, x double, y double")
+    got = simplify_collinear_points(d).toPandas()
+    assert len(got) == 20 * 5
+    back = got.sort_values(["feature_id", "seq"]).reset_index(drop=True)
+    exp = pd.DataFrame(rows, columns=["feature_id", "idx", "x", "y"])
+    assert (back["x"].to_numpy() == exp["x"].to_numpy()).all()
+    assert (back["y"].to_numpy() == exp["y"].to_numpy()).all()
+
+
+def test_trajectory_steps_match_numpy(spark, sf_oracle):
+    from etf_topox_spark.operators.spatial_queries import (
+        N_OBJECTS,
+        N_TRAJ,
+        trajectory_steps,
+    )
+
+    got = trajectory_steps(spark, sf_oracle).toPandas()
+    assert len(got) == N_TRAJ - N_OBJECTS  # every object loses its t=0 row
+    ids = np.arange(N_TRAJ)
+    x, y = _coords(ids)
+    obj, t = ids % N_OBJECTS, ids // N_OBJECTS
+    for o in (0, 7, N_OBJECTS - 1):
+        sel = np.argsort(t[obj == o])
+        ox, oy = x[obj == o][sel], y[obj == o][sel]
+        exp = np.sqrt(np.diff(ox) ** 2 + np.diff(oy) ** 2)
+        g = got[got["object_id"] == o].sort_values("t")["step_dist"].to_numpy()
+        assert np.array_equal(g, exp)
