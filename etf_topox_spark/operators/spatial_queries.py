@@ -498,3 +498,141 @@ def trajectory_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.sqrt(F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")).alias("step_dist"),
     ).orderBy("object_id", "t")
+
+
+# --- per-group convex hull (two-stage partial-hull merge) ----------------------
+
+N_HULL_PTS = 1200
+HULL_GROUPS = 8
+_HKX, _HKY, _HM = 9241, 5437, 20000  # coprime multipliers → all points distinct
+
+# O(n³) hull-edge oracle: a directed edge (a,b) lies on the CCW hull iff every
+# other point c of the group is strictly left of it, or collinear and strictly
+# between a and b (so only the MAXIMAL edge of a collinear run qualifies — the
+# oracle yields exactly the strict-corner hull cycle). The shoelace sum over
+# the directed cycle needs no ordering: each edge contributes ax*by - bx*ay.
+# All-integer coordinates keep every product and sum exact in int64.
+_HULL_SQL = f"""
+WITH pts AS (
+  SELECT i % {HULL_GROUPS} AS gid, i,
+         (i * {_HKX}) % {_HM} AS x, (i * {_HKY}) % {_HM} AS y
+  FROM (SELECT range AS i FROM range({N_HULL_PTS}))
+),
+edges AS (
+  SELECT a.gid, a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by
+  FROM pts a JOIN pts b ON a.gid = b.gid AND a.i <> b.i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts c
+    WHERE c.gid = a.gid AND c.i <> a.i AND c.i <> b.i
+      AND NOT (
+        (b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) > 0
+        OR ((b.x - a.x) * (c.y - a.y) - (b.y - a.y) * (c.x - a.x) = 0
+            AND (c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y) > 0
+            AND (c.x - a.x) * (b.x - a.x) + (c.y - a.y) * (b.y - a.y)
+                < (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y))
+      )
+  )
+)
+SELECT gid AS group_id,
+       CAST(COUNT(*) AS INT) AS n_hull,
+       CAST(SUM(ax * by - bx * ay) AS BIGINT) AS area2,
+       CAST(SUM((bx - ax) * (bx - ax) + (by - ay) * (by - ay)) AS BIGINT)
+         AS edge_len2_sum
+FROM edges GROUP BY gid ORDER BY gid
+"""
+
+
+def _hull_chain(points):
+    """Andrew monotone chain with STRICT turns (collinear vertices dropped),
+    returning the CCW hull cycle — the same strict-corner set the O(n³)
+    oracle derives. Pure-python ints: exact, overflow-free."""
+    pts = sorted(set(points))
+    if len(pts) <= 2:
+        return pts
+
+    def build(seq):
+        st = []
+        for p in seq:
+            while (
+                len(st) >= 2
+                and (st[-1][0] - st[-2][0]) * (p[1] - st[-2][1])
+                - (st[-1][1] - st[-2][1]) * (p[0] - st[-2][0])
+                <= 0
+            ):
+                st.pop()
+            st.append(p)
+        return st
+
+    lower = build(pts)
+    upper = build(reversed(pts))
+    return lower[:-1] + upper[:-1]
+
+
+def hull_points(spark: SparkSession) -> DataFrame:
+    """Deterministic integer point corpus for the hull op (distinct by
+    construction: the x multiplier is coprime with the modulus, so x alone
+    is injective for i < modulus)."""
+    return spark.range(N_HULL_PTS).select(
+        (F.col("id") % HULL_GROUPS).alias("group_id"),
+        ((F.col("id") * _HKX) % _HM).alias("x"),
+        ((F.col("id") * _HKY) % _HM).alias("y"),
+    )
+
+
+@query("geom_convex_hull", oracle=_HULL_SQL)
+def geom_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group convex hull — vertex count, doubled shoelace area and the
+    sum of squared edge lengths, all exact int64 (integer coordinates, so
+    both engines agree bit-for-bit with no float summation-order hazard).
+
+    Scale shape (the reason this is TWO stages): hull(S₁ ∪ S₂) =
+    hull(hull(S₁) ∪ hull(S₂)), so stage 1 computes a PARTIAL hull per
+    (group, input partition) — a map-side combine that collapses each
+    partition's points to at most its hull (O(√n) points in expectation
+    for random input) before anything shuffles — and stage 2 merges the
+    partial hulls per group. At 10^12 points per group the exchange
+    carries hull-sized fragments, not the raw points; the same algebra is
+    why a streaming/incremental hull works. The per-group python loop in
+    the kernels touches only partial-hull points (bounded), never the raw
+    corpus."""
+    import pandas as pd
+
+    pts = hull_points(spark).withColumn("pid", F.spark_partition_id())
+
+    def partial(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        hull = _hull_chain(list(zip(pdf["x"].tolist(), pdf["y"].tolist())))
+        return pd.DataFrame(
+            {
+                "group_id": [int(key[0])] * len(hull),
+                "x": [p[0] for p in hull],
+                "y": [p[1] for p in hull],
+            }
+        )
+
+    def final(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        hull = _hull_chain(list(zip(pdf["x"].tolist(), pdf["y"].tolist())))
+        n = len(hull)
+        area2 = 0
+        len2 = 0
+        for k in range(n):
+            ax, ay = hull[k]
+            bx, by = hull[(k + 1) % n]
+            area2 += ax * by - bx * ay
+            len2 += (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+        return pd.DataFrame(
+            {
+                "group_id": [int(key[0])],
+                "n_hull": [n],
+                "area2": [area2],
+                "edge_len2_sum": [len2],
+            }
+        )
+
+    partials = pts.groupBy("group_id", "pid").applyInPandas(
+        partial, "group_id long, x long, y long"
+    )
+    return (
+        partials.groupBy("group_id")
+        .applyInPandas(final, "group_id long, n_hull int, area2 long, edge_len2_sum long")
+        .orderBy("group_id")
+    )
