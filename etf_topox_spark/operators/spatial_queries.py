@@ -636,3 +636,223 @@ def geom_convex_hull(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(final, "group_id long, n_hull int, area2 long, edge_len2_sum long")
         .orderBy("group_id")
     )
+
+
+# --- per-group diameter (farthest pair) over the two-stage hull ----------------
+
+# Exact-pair oracle: brute-force max squared distance over ALL point pairs of
+# the group (canonical a <lex b), tie-broken by the lexicographically least
+# (ax, ay, bx, by). The engine searches only hull vertices — sound because a
+# farthest-pair endpoint is always a STRICT hull corner: |P(t) - C|² is
+# strictly convex along any segment, so a point interior to a collinear hull
+# run is strictly closer to every C than one of the run's endpoints.
+_DIAM_SQL = f"""
+WITH pts AS (
+  SELECT i % {HULL_GROUPS} AS gid,
+         (i * {_HKX}) % {_HM} AS x, (i * {_HKY}) % {_HM} AS y
+  FROM (SELECT range AS i FROM range({N_HULL_PTS}))
+),
+pairs AS (
+  SELECT p.gid, p.x AS ax, p.y AS ay, q.x AS bx, q.y AS by,
+         (q.x - p.x) * (q.x - p.x) + (q.y - p.y) * (q.y - p.y) AS dist2
+  FROM pts p JOIN pts q
+    ON p.gid = q.gid AND (p.x < q.x OR (p.x = q.x AND p.y < q.y))
+),
+r AS (
+  SELECT gid, dist2, ax, ay, bx, by,
+         ROW_NUMBER() OVER (PARTITION BY gid
+                            ORDER BY dist2 DESC, ax, ay, bx, by) AS rn
+  FROM pairs
+)
+SELECT gid AS group_id, CAST(dist2 AS BIGINT) AS diam2,
+       CAST(ax AS BIGINT) AS ax, CAST(ay AS BIGINT) AS ay,
+       CAST(bx AS BIGINT) AS bx, CAST(by AS BIGINT) AS by
+FROM r WHERE rn = 1 ORDER BY group_id
+"""
+
+
+@query("geom_hull_diameter", oracle=_DIAM_SQL)
+def geom_hull_diameter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group diameter (farthest point pair) — exact int64 squared
+    distance plus the canonical endpoint pair, computed over hull vertices
+    only after the same two-stage partial-hull reduction as
+    geom_convex_hull.
+
+    Scale shape: stage 1's map-side partial hulls bound what shuffles, and
+    the diameter search runs on the merged hull's strict corners — O(h²)
+    integer numpy over h ≈ O(log n / √n-ish) vertices (a few dozen even at
+    10^12 scattered points per group), so an all-pairs scan over hull
+    vertices IS the right plan at scale; rotating calipers would save
+    nothing measurable and adds orientation edge cases. Correctness of the
+    hull-only search: every farthest-pair endpoint is a strict hull corner
+    (strict convexity of squared distance along segments), so the engine
+    sees every pair the brute-force oracle can pick, including ties."""
+    import numpy as np
+    import pandas as pd
+
+    pts = hull_points(spark).withColumn("pid", F.spark_partition_id())
+
+    def partial(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        hull = _hull_chain(list(zip(pdf["x"].tolist(), pdf["y"].tolist())))
+        return pd.DataFrame(
+            {
+                "group_id": [int(key[0])] * len(hull),
+                "x": [p[0] for p in hull],
+                "y": [p[1] for p in hull],
+            }
+        )
+
+    def final(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        hull = _hull_chain(list(zip(pdf["x"].tolist(), pdf["y"].tolist())))
+        # coords < 2^15 → squared distances < 2^31: exact in int64
+        hx = np.array([p[0] for p in hull], dtype=np.int64)
+        hy = np.array([p[1] for p in hull], dtype=np.int64)
+        dx = hx[:, None] - hx[None, :]
+        dy = hy[:, None] - hy[None, :]
+        d2 = dx * dx + dy * dy
+        best = int(d2.max())
+        ii, jj = np.nonzero(d2 == best)
+        cands = []
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            a, b = (hull[i], hull[j]) if hull[i] < hull[j] else (hull[j], hull[i])
+            cands.append((a[0], a[1], b[0], b[1]))
+        ax, ay, bx, by = min(cands)
+        return pd.DataFrame(
+            {
+                "group_id": [int(key[0])],
+                "diam2": [best],
+                "ax": [ax],
+                "ay": [ay],
+                "bx": [bx],
+                "by": [by],
+            }
+        )
+
+    partials = pts.groupBy("group_id", "pid").applyInPandas(
+        partial, "group_id long, x long, y long"
+    )
+    return (
+        partials.groupBy("group_id")
+        .applyInPandas(
+            final, "group_id long, diam2 long, ax long, ay long, bx long, by long"
+        )
+        .orderBy("group_id")
+    )
+
+
+# --- bbox intersection join (2D range join via cell cover, dedup-free) ---------
+
+N_RECT_A = 4000
+N_RECT_B = 4000
+_RM = 4096  # domain side
+_RWMAX = 48  # max rect extent per axis
+_RCELL = 64  # cover-cell side; a rect spans ≤ 2 cells per axis
+_RPOS = _RM - _RWMAX  # position modulus keeps every rect inside the domain
+
+
+def _rect_sql(n: int, kx: int, ky: int, kw: int, kh: int) -> str:
+    return (
+        f"SELECT i, (i * {kx}) % {_RPOS} AS x0, (i * {ky}) % {_RPOS} AS y0,\n"
+        f"       (i * {kx}) % {_RPOS} + 1 + (i * {kw}) % {_RWMAX} AS x1,\n"
+        f"       (i * {ky}) % {_RPOS} + 1 + (i * {kh}) % {_RWMAX} AS y1\n"
+        f"FROM (SELECT range AS i FROM range({n}))"
+    )
+
+
+_RA = (40503, 9109, 293, 541)
+_RB = (30011, 12007, 387, 769)
+
+# naive theta-join oracle: strict interior overlap of half-open rects
+_BBOX_SQL = f"""
+WITH ra AS ({_rect_sql(N_RECT_A, *_RA)}),
+rb AS ({_rect_sql(N_RECT_B, *_RB)})
+SELECT a.i AS rect_a, b.i AS rect_b,
+       CAST((LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+          * (LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS BIGINT) AS overlap_area
+FROM ra a JOIN rb b
+  ON a.x0 < b.x1 AND b.x0 < a.x1 AND a.y0 < b.y1 AND b.y0 < a.y1
+ORDER BY rect_a, rect_b
+"""
+
+
+def _rects(spark: SparkSession, n: int, kx: int, ky: int, kw: int, kh: int) -> DataFrame:
+    return spark.range(n).select(
+        F.col("id").alias("i"),
+        ((F.col("id") * kx) % _RPOS).alias("x0"),
+        ((F.col("id") * ky) % _RPOS).alias("y0"),
+        ((F.col("id") * kx) % _RPOS + 1 + (F.col("id") * kw) % _RWMAX).alias("x1"),
+        ((F.col("id") * ky) % _RPOS + 1 + (F.col("id") * kh) % _RWMAX).alias("y1"),
+    )
+
+
+@query("spatial_bbox_join", oracle=_BBOX_SQL)
+def spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rectangle-intersection join (the 2D range join: bounding boxes,
+    viewports, image crop regions) via grid-cell covering — each rect
+    explodes to the cells it touches, pairs meet with a plain equi-join on
+    the cell, and the overlap predicate confirms exactly.
+
+    Dedup-free by construction: a pair sharing several cells is emitted
+    ONLY at the cell containing the intersection's min corner
+    (greatest(x0) // cell, greatest(y0) // cell) — the standard
+    reporting-cell rule — so no DISTINCT shuffle ever runs. Scale shape:
+    ONE equi-join exchange on cell id; cover fan-out is bounded (≤4 cells
+    per rect at extent ≤ cell side); skew from hot cells is the pip_join
+    problem and would reuse its recon-salting if cells grew dense. All
+    integer, bit-exact vs the naive theta-join oracle."""
+    ra = _rects(spark, N_RECT_A, *_RA)
+    rb = _rects(spark, N_RECT_B, *_RB)
+
+    def cover(df: DataFrame, tag: str) -> DataFrame:
+        # _RCELL is a power of two, so the double division under floor is
+        # exact; floor() returns LongType, which sequence() requires
+        return df.select(
+            F.col("i").alias(f"{tag}_i"),
+            F.col("x0").alias(f"{tag}x0"),
+            F.col("y0").alias(f"{tag}y0"),
+            F.col("x1").alias(f"{tag}x1"),
+            F.col("y1").alias(f"{tag}y1"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("x0") / _RCELL), F.floor((F.col("x1") - 1) / _RCELL)
+                )
+            ).alias("cx"),
+            F.col("y0"),
+            F.col("y1"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("y0") / _RCELL), F.floor((F.col("y1") - 1) / _RCELL)
+                )
+            ).alias("cy"),
+        ).drop("y0", "y1")
+
+    ca = cover(ra, "a")
+    cb = cover(rb, "b")
+    ix0 = F.greatest("ax0", "bx0")
+    iy0 = F.greatest("ay0", "by0")
+    return (
+        ca.join(cb, ["cx", "cy"])
+        .where(
+            (F.col("ax0") < F.col("bx1"))
+            & (F.col("bx0") < F.col("ax1"))
+            & (F.col("ay0") < F.col("by1"))
+            & (F.col("by0") < F.col("ay1"))
+            # reporting-cell rule: emit once, at the cell containing the
+            # intersection's min corner (pure-integer range check)
+            & (F.col("cx") * _RCELL <= ix0)
+            & (ix0 < (F.col("cx") + 1) * _RCELL)
+            & (F.col("cy") * _RCELL <= iy0)
+            & (iy0 < (F.col("cy") + 1) * _RCELL)
+        )
+        .select(
+            F.col("a_i").alias("rect_a"),
+            F.col("b_i").alias("rect_b"),
+            (
+                (F.least("ax1", "bx1") - F.greatest("ax0", "bx0"))
+                * (F.least("ay1", "by1") - F.greatest("ay0", "by0"))
+            ).alias("overlap_area"),
+        )
+        .orderBy("rect_a", "rect_b")
+    )

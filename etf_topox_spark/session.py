@@ -29,7 +29,18 @@ def get_spark(
     cores = cores or os.environ.get("SPARK_GRAFT_CPUS") or "*"
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        # local[N,2]: allow ONE task retry. Spark 4.1's single-threaded
+        # Python-runner feed (writeAdditionalInputToPythonWorker pulling a
+        # chained upstream Python runner inside the reader's select loop)
+        # can rarely deadlock on fused mapInPandas→mapInPandas stages (both
+        # sides observed blocked: worker in tcp_sendmsg, JVM in EPoll.wait,
+        # jstack'd 2026-08-17 during a local[2] bench trial). The
+        # idle-timeout watchdog below kills the wedged worker; the retry
+        # then reruns the (deterministic, map-side) task cleanly instead of
+        # failing the job.
+        .master(f"local[{cores},2]")
+        .config("spark.python.worker.idleTimeoutSeconds", "300")
+        .config("spark.python.worker.killOnIdleTimeout", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

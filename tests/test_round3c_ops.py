@@ -110,3 +110,68 @@ def test_gradient_energy_matches_numpy(spark, sf_oracle):
     gx = g[1:-1, 2:] - g[1:-1, :-2]
     gy = g[2:, 1:-1] - g[:-2, 1:-1]
     assert int((np.abs(gx) + np.abs(gy)).sum()) == 0
+
+
+def _rects_np(n, kx, ky, kw, kh):
+    from etf_topox_spark.operators.spatial_queries import _RPOS, _RWMAX
+
+    i = np.arange(n, dtype=np.int64)
+    x0 = (i * kx) % _RPOS
+    y0 = (i * ky) % _RPOS
+    return i, x0, y0, x0 + 1 + (i * kw) % _RWMAX, y0 + 1 + (i * kh) % _RWMAX
+
+
+def test_bbox_join_matches_numpy_brute_force(spark, sf_oracle):
+    """Cell-cover join == O(n²) numpy brute force: same pair set (no dup
+    emission from multi-cell pairs, no miss from the reporting-cell rule),
+    same exact overlap areas."""
+    from etf_topox_spark.operators.spatial_queries import (
+        _RA,
+        _RB,
+        N_RECT_A,
+        N_RECT_B,
+        spatial_bbox_join,
+    )
+
+    got = spatial_bbox_join(spark, sf_oracle).toPandas()
+    ai, ax0, ay0, ax1, ay1 = _rects_np(N_RECT_A, *_RA)
+    bi, bx0, by0, bx1, by1 = _rects_np(N_RECT_B, *_RB)
+    wx = np.minimum(ax1[:, None], bx1[None, :]) - np.maximum(ax0[:, None], bx0[None, :])
+    wy = np.minimum(ay1[:, None], by1[None, :]) - np.maximum(ay0[:, None], by0[None, :])
+    hit = (wx > 0) & (wy > 0)
+    ii, jj = np.nonzero(hit)
+    exp = pd.DataFrame(
+        {
+            "rect_a": ai[ii],
+            "rect_b": bi[jj],
+            "overlap_area": (wx * wy)[ii, jj],
+        }
+    ).sort_values(["rect_a", "rect_b"])
+    assert len(got) == len(exp) > 1000
+    # exactly-once emission: pair keys are unique
+    assert not got.duplicated(["rect_a", "rect_b"]).any()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).astype("int64"),
+        exp.reset_index(drop=True).astype("int64"),
+    )
+
+
+def test_hull_diameter_endpoints_and_value(spark, sf_oracle):
+    """Diameter == numpy brute force over ALL group points (not just hull
+    vertices), and both endpoints are strict hull corners."""
+    from etf_topox_spark.operators.spatial_queries import geom_hull_diameter
+
+    got = geom_hull_diameter(spark, sf_oracle).toPandas().set_index("group_id")
+    for gid in range(HULL_GROUPS):
+        pts = _group_points(gid)
+        px = np.array([p[0] for p in pts], dtype=np.int64)
+        py = np.array([p[1] for p in pts], dtype=np.int64)
+        d2 = (px[:, None] - px[None, :]) ** 2 + (py[:, None] - py[None, :]) ** 2
+        best = int(d2.max())
+        row = got.loc[gid]
+        assert int(row.diam2) == best
+        a, b = (int(row.ax), int(row.ay)), (int(row.bx), int(row.by))
+        assert a < b
+        hull = set(_hull_chain(pts))
+        assert a in hull and b in hull
+        assert (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 == best
