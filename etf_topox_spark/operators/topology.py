@@ -131,7 +131,7 @@ def ring_meta(rings: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def undirected_edge_stats(
-    edges: DataFrame, themes: list[str] | None = None
+    edges: DataFrame, themes: list[str] | None = None, with_holes: bool = False
 ) -> DataFrame:
     """The reference's insert-time hashmap conflict check as one shuffle:
     groupBy on the undirected coordinate-hash key.
@@ -146,7 +146,16 @@ def undirected_edge_stats(
     When the Theme session provides its name list (R2 — a validation run
     knows its themes up front), the theme string is dictionary-encoded to
     a small int for the shuffle and decoded after: the exchange then
-    carries three longs + two ints per partial row and zero strings."""
+    carries three longs + two ints per partial row and zero strings.
+
+    with_holes=True additionally aggregates, per key, how many of its
+    directed edges come from interior rings (n_hole) and — for keys that
+    could be an unshared hole edge — the packed (feature, ring) ref of one
+    such edge (hole_ref). This lets interior_errors read hole-sharing
+    straight off this one exchange instead of re-shuffling every stats row
+    through a second (lo_h, hi_h) join: +~12 bytes/partial-row here buys
+    the removal of a full second exchange+sort over the stats table, the
+    shape that matters at 10^12 edges."""
     mid_x = (X.unpack_x_col(F.col("lo_h")) + X.unpack_x_col(F.col("hi_h"))) / 2
     mid_y = (X.unpack_y_col(F.col("lo_h")) + X.unpack_y_col(F.col("hi_h"))) / 2
     aggs = [
@@ -154,7 +163,19 @@ def undirected_edge_stats(
         F.sum(F.col("fwd").cast("int")).alias("n_fwd"),
         F.array_sort(F.collect_set("feature_id")).alias("features"),
     ]
-    base = edges.select("theme", "lo_h", "hi_h", "fwd", "feature_id")
+    cols = ["theme", "lo_h", "hi_h", "fwd", "feature_id"]
+    if with_holes:
+        # obj_ref >> 20 drops the edge seq: the packed (feature, ring) pair
+        hole_ref = F.when(
+            ~F.col("is_exterior"), F.shiftright(F.col("obj_ref"), 20)
+        )
+        edges = edges.withColumn("hole_ref", hole_ref)
+        cols.append("hole_ref")
+        aggs += [
+            F.count("hole_ref").alias("n_hole"),
+            F.max("hole_ref").alias("hole_ref"),
+        ]
+    base = edges.select(*cols)
     if themes:
         enc = F.create_map(
             *[c for i, t in enumerate(sorted(themes)) for c in (F.lit(t), F.lit(i))]
@@ -162,17 +183,17 @@ def undirected_edge_stats(
         dec = F.create_map(
             *[c for i, t in enumerate(sorted(themes)) for c in (F.lit(i), F.lit(t))]
         )
+        out_cols = ["lo_h", "hi_h", "n", "n_fwd", "features"] + (
+            ["n_hole", "hole_ref"] if with_holes else []
+        )
         g = (
             base.select(
                 F.element_at(enc, F.col("theme")).alias("tid"),
-                "lo_h", "hi_h", "fwd", "feature_id",
+                *[c for c in cols if c != "theme"],
             )
             .groupBy("tid", "lo_h", "hi_h")
             .agg(*aggs)
-            .select(
-                F.element_at(dec, F.col("tid")).alias("theme"),
-                "lo_h", "hi_h", "n", "n_fwd", "features",
-            )
+            .select(F.element_at(dec, F.col("tid")).alias("theme"), *out_cols)
         )
     else:
         g = base.groupBy("theme", "lo_h", "hi_h").agg(*aggs)
@@ -857,18 +878,50 @@ def face_cycles(edges: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def interior_errors(edges: DataFrame, stats: DataFrame, meta: DataFrame) -> DataFrame:
-    hole_edges = edges.filter(~F.col("is_exterior")).select(
-        "theme", "feature_id", "ring_idx", "lo_h", "hi_h"
-    )
-    matched = hole_edges.join(
-        stats.select("theme", "lo_h", "hi_h", "n"), ["theme", "lo_h", "hi_h"]
-    )
-    empty = (
-        matched.groupBy("theme", "feature_id", "ring_idx")
-        .agg(F.max("n").alias("max_n"))
-        .filter(F.col("max_n") == 1)  # no edge of the hole is shared: gap
-        .select("theme", "feature_id", "ring_idx")
-    )
+    """R11 empty interiors (a hole none of whose edges is shared with a
+    filling surface) + ring orientation.
+
+    Fast path (stats built with with_holes=True): a hole ring is "empty"
+    iff every one of its edges sits on a key with n == 1 — equivalently,
+    the count of n==1 keys owned by the ring equals the ring's edge count.
+    Both counts come from tiny map-side-combinable aggregates (stats rows
+    with n==1 & n_hole==1; hole edges per ring), so NO full-width join of
+    the stats table is needed — the legacy path re-shuffled every stats
+    row through a (lo_h, hi_h) exchange+sort just to probe the few hole
+    keys, a cost proportional to ALL edges rather than hole edges."""
+    if "n_hole" in stats.columns:
+        unshared = (
+            stats.filter((F.col("n") == 1) & (F.col("n_hole") == 1))
+            .groupBy("theme", "hole_ref")
+            .agg(F.count(F.lit(1)).alias("n_unshared"))
+        )
+        ring_sizes = (
+            edges.filter(~F.col("is_exterior"))
+            .groupBy("theme", F.shiftright(F.col("obj_ref"), 20).alias("hole_ref"))
+            .agg(F.count(F.lit(1)).alias("n_edges"))
+        )
+        empty = (
+            ring_sizes.join(unshared, ["theme", "hole_ref"])
+            .filter(F.col("n_unshared") == F.col("n_edges"))
+            .select(
+                "theme",
+                F.shiftright(F.col("hole_ref"), 10).alias("feature_id"),
+                (F.col("hole_ref") % 1024).cast("int").alias("ring_idx"),
+            )
+        )
+    else:
+        hole_edges = edges.filter(~F.col("is_exterior")).select(
+            "theme", "feature_id", "ring_idx", "lo_h", "hi_h"
+        )
+        matched = hole_edges.join(
+            stats.select("theme", "lo_h", "hi_h", "n"), ["theme", "lo_h", "hi_h"]
+        )
+        empty = (
+            matched.groupBy("theme", "feature_id", "ring_idx")
+            .agg(F.max("n").alias("max_n"))
+            .filter(F.col("max_n") == 1)  # no edge of the hole is shared: gap
+            .select("theme", "feature_id", "ring_idx")
+        )
     anchor = meta.select("theme", "feature_id", "ring_idx", "min_x", "min_y")
     empty_err = empty.join(anchor, ["theme", "feature_id", "ring_idx"]).select(
         "theme",
@@ -927,7 +980,7 @@ def validate_topology(
         F.col("feature_id").alias("feature_b"),
     )
     ok = edges.filter(F.col("h1") != F.col("h2"))
-    stats = undirected_edge_stats(ok, themes).cache()
+    stats = undirected_edge_stats(ok, themes, with_holes=True).cache()
 
     return (
         zero
