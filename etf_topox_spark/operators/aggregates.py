@@ -195,3 +195,86 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey")
     )
+
+
+# --- A-extra: GROUPING SETS (the general form behind rollup/cube) ------------
+
+@query(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+           {_dsum_sql('o_totalprice')} AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets — the general lattice the rollup/cube
+    operators specialize; one shuffle, Catalyst expands the sets."""
+    o = T(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(F.count(F.lit(1)).alias("n"), dsum(F.col("o_totalprice")).alias("total"))
+
+
+# --- A-extra: event funnel (view → click → purchase, time-ordered) -----------
+
+@query(
+    "event_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT COUNT(*) AS n_users, COUNT(t1) AS n_viewed,
+           COUNT(t2) AS n_clicked, COUNT(t3) AS n_purchased
+    FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+           LEFT JOIN p USING (user_id)
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-ordered conversion funnel (view → click → purchase): each stage
+    is the earliest qualifying event strictly after the previous stage's.
+
+    Scale shape: three hash-aggregable per-user MIN reductions chained by
+    equi-joins on user_id — every exchange is on the same key, so a real
+    cluster reuses one partitioning across all stages (co-partitioned
+    joins, no broadcast needed at 10^12 events)."""
+    e = T(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    u = e.select("user_id").distinct()
+    return (
+        u.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.count("t1").alias("n_viewed"),
+            F.count("t2").alias("n_clicked"),
+            F.count("t3").alias("n_purchased"),
+        )
+    )

@@ -691,3 +691,79 @@ def image_gradient_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(
         kernel, "image_id string, grad_energy long, grad_max long, n_interior long"
     ).orderBy("image_id")
+
+
+# --- cross-image duplicate tiles (content-hash tile dedup) --------------------
+
+@query("image_tile_dedup")
+def image_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined duplicate-tile detection ACROSS images: tile every
+    image, hash raw tile bytes (md5 — exact content identity, no
+    perceptual tolerance), keep hash groups with > 1 member. The dedup
+    shape of a 10^12-image tile store: one hash-aggregable exchange on the
+    digest, map-side partial counts, representative = min tile_id (stable
+    under any partitioning). Rows-only for the driver (tile bytes are
+    produced by the numpy codec, outside SQL); the exact expected
+    duplicate pairs of the deterministic corpus are pinned in
+    tests/test_images.py."""
+    tiles = tile_images(synthetic_images(spark, N_IMAGES))
+    return (
+        tiles.select(
+            F.md5(F.col("tile_bytes")).alias("tile_hash"),
+            "tile_id",
+            "image_id",
+        )
+        .groupBy("tile_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("image_id").alias("n_images"),
+            F.min("tile_id").alias("keep_tile_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# --- per-image histogram entropy ----------------------------------------------
+
+@query("image_entropy")
+def image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each image's gray-level histogram — the classic
+    information-content quality score for filtering near-blank frames out
+    of a vision training set. Map-only Arrow kernel (one pass per image,
+    numpy bincount); deterministic, so pytest pins exact values for the
+    fixture corpus."""
+    import numpy as np  # local: keep worker import cost off module load
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_IMAGES)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ents = np.empty(len(pdf), np.float64)
+            means = np.empty(len(pdf), np.float64)
+            for k, r in enumerate(pdf.itertuples(index=False)):
+                px = IC.decode(bytes(r.bytes), r.fmt)
+                gray = (
+                    px[..., 0].astype(np.uint32)
+                    + px[..., 1]
+                    + px[..., 2]
+                ) // 3
+                hist = np.bincount(gray.ravel(), minlength=256)
+                p = hist[hist > 0] / gray.size
+                ents[k] = float(-(p * np.log2(p)).sum())
+                means[k] = float(gray.mean())
+            yield pd.DataFrame(
+                {
+                    "image_id": pdf["image_id"],
+                    "entropy_bits": ents,
+                    "gray_mean": means,
+                }
+            )
+
+    return imgs.mapInPandas(
+        kernel, "image_id string, entropy_bits double, gray_mean double"
+    )

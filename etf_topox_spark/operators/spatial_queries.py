@@ -856,3 +856,30 @@ def spatial_bbox_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rect_a", "rect_b")
     )
+
+
+# --- spatial ANTI join: points contained by NO surface -----------------------
+
+ANTI_GRID = 10  # 10×10 unit squares at the origin — points span [0, 20)²
+
+
+_ANTI_SQL = f"""
+WITH pts AS ({points_sql(N_POINTS)})
+SELECT point_id, x, y
+FROM pts WHERE x > {ANTI_GRID} OR y > {ANTI_GRID}
+"""
+
+
+@query("spatial_anti_join", oracle=_ANTI_SQL)
+def spatial_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points covered by no polygon — the spatial complement of pip_join
+    (the 'outside any administrative area / outside any raster footprint'
+    filter). Implemented as pip_join → left_anti on point_id, so both PIP
+    strategies (broadcast index / salted shuffle) serve the anti form
+    unchanged. Oracle: the 10×10 unit grid admits a closed-form complement
+    (a point on a grid line belongs to its lower-left square, so only
+    strict overshoot is outside)."""
+    points = synthetic_points(spark, N_POINTS)
+    rings = surface_mosaic(spark, rows=ANTI_GRID, cols=ANTI_GRID, defect="valid_mosaic")
+    inside = pip_join(spark, points, rings).select("point_id")
+    return points.join(inside, "point_id", "left_anti").select("point_id", "x", "y")

@@ -615,3 +615,266 @@ def text_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= NGRAM_K)
         .orderBy("rk")
     )
+
+
+# --- repetition filter (Gopher-style quality gate) ----------------------------
+# Rae et al. 2021 ("Scaling Language Models: ... Gopher") filter heuristics,
+# re-derived: documents dominated by repeated n-grams or by a single token
+# are low-quality for LM training. Signals here: duplicate-trigram fraction
+# and top-token share. Public-knowledge thresholds, engine-invented spelling.
+
+REP_DUP3_MAX = 0.20
+REP_TOP_SHARE_MAX = 0.30
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
+                                x -> lower(x)) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+tri AS (
+  SELECT doc_id,
+         [t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3]
+          for i in range(0, greatest(len(t) - 2, 0))] AS g,
+         len(t) AS n_tokens
+  FROM toks
+),
+top AS (
+  SELECT doc_id, MAX(c) AS top_n FROM (
+    SELECT doc_id, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY doc_id, tok
+  ) GROUP BY doc_id
+)
+SELECT tri.doc_id,
+       CAST(tri.n_tokens AS INT) AS n_tokens,
+       CASE WHEN len(g) > 0
+            THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+            ELSE 0.0 END AS dup_trigram_frac,
+       CAST(top.top_n AS DOUBLE) / tri.n_tokens AS top_token_share,
+       (CASE WHEN len(g) > 0
+             THEN 1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g)
+             ELSE 0.0 END) <= {REP_DUP3_MAX}
+         AND CAST(top.top_n AS DOUBLE) / tri.n_tokens <= {REP_TOP_SHARE_MAX}
+         AS keep
+FROM tri JOIN top USING (doc_id)
+"""
+
+
+@query("text_repetition_filter", oracle=_REPETITION_SQL)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate: duplicate-trigram fraction +
+    top-token dominance per document, with a keep flag.
+
+    Scale shape: the trigram signal is computed INSIDE the row with
+    higher-order array functions (no explode → no shuffle); only the
+    top-token share needs one hash-aggregable (doc_id, token) exchange
+    with map-side partial counts. Both divisions are int/int in IEEE
+    doubles, so engine and oracle agree bit-exactly."""
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.transform(F.split(F.trim("text"), _WS_RE), lambda x: F.lower(x))
+    base = d.select("doc_id", toks.alias("t")).withColumn(
+        "n_tokens", F.size("t")
+    )
+    n1 = F.size("t") - 2
+    tri = base.withColumn(
+        "g",
+        F.when(
+            n1 > 0,
+            F.zip_with(
+                F.slice("t", 1, n1),
+                F.zip_with(
+                    F.slice("t", 2, n1),
+                    F.slice("t", 3, n1),
+                    lambda b, c: F.concat(b, F.lit(" "), c),
+                ),
+                lambda a, bc: F.concat(a, F.lit(" "), bc),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    dup = F.when(
+        F.size("g") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("g")).cast("double") / F.size("g"),
+    ).otherwise(F.lit(0.0))
+    top = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_n"))
+    )
+    scored = tri.join(top, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        dup.alias("dup_trigram_frac"),
+        (F.col("top_n").cast("double") / F.col("n_tokens")).alias("top_token_share"),
+    )
+    return scored.withColumn(
+        "keep",
+        (F.col("dup_trigram_frac") <= REP_DUP3_MAX)
+        & (F.col("top_token_share") <= REP_TOP_SHARE_MAX),
+    )
+
+
+# --- benchmark-contamination check (n-gram overlap vs a held-out set) ---------
+
+CONTAM_N = 5          # word n-gram order
+CONTAM_BENCH = 16     # doc_id < CONTAM_BENCH form the "benchmark" set
+CONTAM_MIN_SHARED = 2
+
+_CONTAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'),
+                                x -> lower(x)) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest([array_to_string(t[i + 1:i + {CONTAM_N}], ' ')
+                 for i in range(0, greatest(len(t) - {CONTAM_N - 1}, 0))]) AS gram
+  FROM toks
+),
+bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < {CONTAM_BENCH}),
+bench_sizes AS (SELECT bench_id, COUNT(*) AS bench_grams FROM bench GROUP BY 1),
+corpus AS (SELECT doc_id, gram FROM grams WHERE doc_id >= {CONTAM_BENCH}),
+hits AS (
+  SELECT c.doc_id, b.bench_id, COUNT(*) AS n_shared
+  FROM corpus c JOIN bench b USING (gram)
+  GROUP BY 1, 2
+)
+SELECT h.doc_id, h.bench_id, h.n_shared,
+       CAST(h.n_shared AS DOUBLE) / s.bench_grams AS contaminated_frac
+FROM hits h JOIN bench_sizes s USING (bench_id)
+WHERE h.n_shared >= {CONTAM_MIN_SHARED}
+"""
+
+
+@query("text_contamination", oracle=_CONTAM_SQL)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination scan: distinct word 5-gram overlap between
+    every corpus document and a benchmark set (here: doc_id < 16, standing
+    in for an eval suite shipped as a small table).
+
+    Scale shape: the benchmark side is tiny by construction → its distinct
+    grams BROADCAST to the corpus gram stream (no corpus-side shuffle
+    beyond the per-(doc, bench) count, which is hash-aggregable with
+    map-side combine). The corpus side never materializes more than one
+    row per (doc, distinct-gram)."""
+    d = T(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    toks = F.transform(F.split(F.trim("text"), _WS_RE), lambda x: F.lower(x))
+    base = d.select("doc_id", toks.alias("t"))
+    n1 = F.size("t") - (CONTAM_N - 1)
+    gram_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at("t", i + k) for k in range(CONTAM_N)]
+    )
+    grams = (
+        base.filter(n1 > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(F.sequence(F.lit(1), n1), lambda i: gram_at(i))
+                )
+            ).alias("gram"),
+        )
+    )
+    bench = grams.filter(F.col("doc_id") < CONTAM_BENCH).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    bench_sizes = bench.groupBy("bench_id").agg(F.count(F.lit(1)).alias("bench_grams"))
+    corpus = grams.filter(F.col("doc_id") >= CONTAM_BENCH)
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
+    )
+    return hits.join(F.broadcast(bench_sizes), "bench_id").select(
+        "doc_id",
+        "bench_id",
+        "n_shared",
+        (F.col("n_shared").cast("double") / F.col("bench_grams")).alias(
+            "contaminated_frac"
+        ),
+    )
+
+
+# --- corpus length histogram --------------------------------------------------
+
+_LENGTH_HIST_SQL = """
+SELECT lang,
+       CAST(length(printf('%b', n_chars)) AS INT) AS bucket,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+FROM documents WHERE n_chars > 0
+GROUP BY 1, 2
+"""
+
+
+@query("text_length_histogram", oracle=_LENGTH_HIST_SQL)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language log2 length histogram — the corpus-shape statistic every
+    training-data pipeline reports. Bucket = bit length of n_chars
+    (floor(log2)+1 computed exactly via the binary string, identical in
+    both engines — no float log edge cases at powers of two)."""
+    d = T(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    return (
+        d.groupBy(
+            "lang", F.length(F.bin("n_chars")).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        )
+    )
+
+
+# --- PII / sensitive-pattern scan ----------------------------------------------
+# Patterns stay in the RE2 ∩ Java-regex common dialect so engine and oracle
+# match identically (same discipline as the _WS_RE tokenizer).
+
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PII_IPV4 = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+PII_DIGIT_RUN = "[0-9]{4,}"
+
+_PII_SQL = f"""
+WITH scans AS (
+  SELECT 'documents' AS tbl, text AS s FROM documents
+  UNION ALL
+  SELECT 'events' AS tbl, props AS s FROM events
+)
+SELECT tbl,
+       COUNT(*) AS n_rows,
+       SUM(len(regexp_extract_all(s, '{PII_EMAIL}'))) AS n_emails,
+       SUM(len(regexp_extract_all(s, '{PII_IPV4}'))) AS n_ipv4,
+       SUM(len(regexp_extract_all(s, '{PII_DIGIT_RUN}'))) AS n_digit_runs,
+       SUM(len(regexp_extract_all(s, '[0-9]'))) AS n_digit_chars
+FROM scans GROUP BY tbl
+"""
+
+
+@query("text_pii_stats", oracle=_PII_SQL)
+def text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / sensitive-pattern scan over every string surface (documents
+    text + event props): emails, IPv4 literals, long digit runs, digit
+    chars. Pure JVM regexp_count — map-side, one tiny aggregate row per
+    table; the redaction pass of a training pipeline runs exactly this
+    shape before masking."""
+    docs = T(spark, sf_dir, "documents").select(
+        F.lit("documents").alias("tbl"), F.col("text").alias("s")
+    )
+    ev = T(spark, sf_dir, "events").select(
+        F.lit("events").alias("tbl"), F.col("props").alias("s")
+    )
+    return (
+        docs.unionByName(ev)
+        .groupBy("tbl")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.regexp_count("s", F.lit(PII_EMAIL))).alias("n_emails"),
+            F.sum(F.regexp_count("s", F.lit(PII_IPV4))).alias("n_ipv4"),
+            F.sum(F.regexp_count("s", F.lit(PII_DIGIT_RUN))).alias("n_digit_runs"),
+            F.sum(F.regexp_count("s", F.lit("[0-9]"))).alias("n_digit_chars"),
+        )
+    )
