@@ -645,3 +645,40 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("bucket") < rate)
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --- J-extra: correlated-existence patterns (EXISTS / NOT EXISTS) -------------
+
+@query(
+    "join_exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F'
+                        AND o2.o_totalprice < 5000)
+    """,
+)
+def join_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS via the SQL surface — Catalyst
+    rewrites both to semi/anti hash joins (the plan a hand-built
+    .join(..., 'semi') would give), so the subquery form costs nothing."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    c.createOrReplaceTempView("_ex_customer")
+    o.createOrReplaceTempView("_ex_orders")
+    return c.sparkSession.sql(
+        """
+        SELECT c_custkey, c_name
+        FROM _ex_customer c
+        WHERE EXISTS (SELECT 1 FROM _ex_orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM _ex_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'F'
+                            AND o2.o_totalprice < 5000)
+        """
+    )

@@ -201,3 +201,68 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = T(spark, sf_dir, "customer")
     o = T(spark, sf_dir, "orders")
     return c.select("c_custkey").exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))).distinct()
+
+
+# --- W-extra: RANGE window frame (value-based, not row-based) -----------------
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+             AS n_similar_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame: per order, how many of the customer's
+    orders land within ±10k of its price — the 'peer band' window shape
+    (row frames can't express it). One partition-local sort per custkey."""
+    o = T(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 10000)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_spend"),
+    )
+
+
+# --- A-extra: median / mode (deterministic tie rule) --------------------------
+
+@query(
+    "agg_median_mode",
+    oracle="""
+    SELECT l_returnflag,
+           MEDIAN(l_quantity) AS med_qty,
+           (SELECT MIN(q) FROM (
+              SELECT l2.l_quantity AS q, COUNT(*) AS c
+              FROM lineitem l2 WHERE l2.l_returnflag = l.l_returnflag
+              GROUP BY 1
+              QUALIFY c = MAX(c) OVER ()
+            )) AS mode_qty
+    FROM lineitem l GROUP BY l_returnflag
+    """,
+)
+def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median + smallest-value mode per group. Mode is re-derived
+    from the (group, value) count table with an explicit min-of-argmax tie
+    rule — engine built-ins disagree on ties, a closed rule doesn't."""
+    li = T(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(F.median("l_quantity").alias("med_qty"))
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("l_returnflag")
+    mode = (
+        counts.withColumn("cmax", F.max("c").over(w))
+        .filter(F.col("c") == F.col("cmax"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_quantity").alias("mode_qty"))
+    )
+    return med.join(mode, "l_returnflag")

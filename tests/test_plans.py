@@ -198,3 +198,40 @@ def test_bloom_prune_is_map_side(spark):
     plan = _plan(pruned)
     assert "Exchange" not in plan
     assert "MapInPandas" in plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    plan = _plan(QUERIES["text_contamination"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the corpus side must not be shuffled for the gram join
+    assert plan.count("SortMergeJoin") == 0
+
+
+def test_exists_subquery_rewrites_to_semi_anti(spark):
+    plan = _plan(QUERIES["join_exists_subquery"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_interior_errors_no_stats_wide_join(spark):
+    """The R11 fast path must read hole-sharing off the stats aggregate —
+    never re-join the full stats table on the undirected edge key (the
+    legacy plan shuffled every stats row to probe a handful of holes)."""
+    from pyspark.sql import functions as F
+
+    from etf_topox_spark.operators.topology import (
+        interior_errors,
+        ring_meta,
+        rings_to_edges,
+        undirected_edge_stats,
+    )
+    from etf_topox_spark.sources.mosaic import surface_mosaic
+
+    rings = surface_mosaic(spark, rows=6, cols=6, defect="hole_defect")
+    edges = rings_to_edges(rings).filter(F.col("h1") != F.col("h2"))
+    stats = undirected_edge_stats(edges, with_holes=True)
+    plan = _plan(interior_errors(edges, stats, ring_meta(rings)))
+    for line in plan.splitlines():
+        if "Join" in line and ("lo_h" in line or "hi_h" in line):
+            raise AssertionError(f"stats-wide edge-key join survived: {line}")
