@@ -446,3 +446,80 @@ def udtf_ring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY r.feature_id, e.seq
         """
     )
+
+
+# --- F9c: geohash textual cell codec -------------------------------------------
+
+_GH_PREC = 8
+_GH_HALF = 5 * _GH_PREC // 2  # bits per axis
+_GH_N = 1 << _GH_HALF
+
+
+def _geohash_sql() -> str:
+    """DuckDB twin of functions.cells.geohash_encode at precision 8: same
+    floor-scale, same Morton spread, chars via base-32 substr lookup."""
+    from etf_topox_spark.sources.points import points_sql
+
+    sx = _morton_spread_sql("xi")
+    sy = _morton_spread_sql("yi")
+    ch = " || ".join(
+        f"substr('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST(((v >> {5 * (_GH_PREC - 1 - c)}) & 31) AS INTEGER) + 1, 1)"
+        for c in range(_GH_PREC)
+    )
+    return f"""
+WITH pts AS ({points_sql(2_000)}),
+xy AS (
+  SELECT point_id, x, y,
+         LEAST(GREATEST(CAST(FLOOR((x + 180.0) / 360.0 * {_GH_N}) AS BIGINT), 0), {_GH_N - 1}) AS xi,
+         LEAST(GREATEST(CAST(FLOOR((y + 90.0) / 180.0 * {_GH_N}) AS BIGINT), 0), {_GH_N - 1}) AS yi
+  FROM pts
+),
+iv AS (SELECT point_id, x, y, xi, yi, (({sx}) << 1) | ({sy}) AS v FROM xy)
+SELECT point_id, {ch} AS geohash,
+       CAST(xi AS DOUBLE) * (360.0 / {_GH_N}) - 180.0 AS lon_min,
+       CAST(yi AS DOUBLE) * (180.0 / {_GH_N}) - 90.0 AS lat_min,
+       (CAST(xi AS DOUBLE) + 1.0) * (360.0 / {_GH_N}) - 180.0 AS lon_max,
+       (CAST(yi AS DOUBLE) + 1.0) * (180.0 / {_GH_N}) - 90.0 AS lat_max,
+       TRUE AS contains
+FROM iv ORDER BY point_id
+"""
+
+
+@query("cell_geohash_roundtrip", oracle=_geohash_sql())
+def cell_geohash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash encode → decode round-trip over the point corpus: the third
+    cell-index dialect (textual, prefix-rangeable) next to the Morton
+    quadkey and planar grid. Map-only Arrow kernel; `contains` certifies
+    the decoded cell really covers its point (bounds are exact dyadic
+    doubles, so the oracle matches bit for bit)."""
+    from etf_topox_spark.functions.cells import geohash_decode_bounds, geohash_encode
+    from etf_topox_spark.sources.points import synthetic_points
+
+    pts = synthetic_points(spark, 2_000)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            lon = pdf["x"].to_numpy()
+            lat = pdf["y"].to_numpy()
+            gh = geohash_encode(lon, lat, _GH_PREC)
+            x0, y0, x1, y1 = geohash_decode_bounds(gh, _GH_PREC)
+            yield pd.DataFrame(
+                {
+                    "point_id": pdf["point_id"],
+                    "geohash": gh,
+                    "lon_min": x0,
+                    "lat_min": y0,
+                    "lon_max": x1,
+                    "lat_max": y1,
+                    "contains": (x0 <= lon) & (lon < x1) & (y0 <= lat) & (lat < y1),
+                }
+            )
+
+    schema = (
+        "point_id long, geohash string, lon_min double, lat_min double, "
+        "lon_max double, lat_max double, contains boolean"
+    )
+    return pts.mapInPandas(kernel, schema).orderBy("point_id")

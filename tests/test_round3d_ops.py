@@ -140,3 +140,31 @@ def test_spatial_anti_join_complement(spark, sf_smoke):
     # complement property vs the 10×10 closed form
     pdf = anti.toPandas()
     assert ((pdf["x"] > 10) | (pdf["y"] > 10)).all()
+
+
+def test_geohash_canonical_vectors():
+    """Public test vectors (Niemeyer's scheme): ezs42* for (42.605961,
+    -5.603027); sqc8b49r* for Palermo."""
+    from etf_topox_spark.functions.cells import geohash_decode_bounds, geohash_encode
+
+    lon = np.array([-5.603027, 13.361389])
+    lat = np.array([42.605961, 38.115556])
+    gh = geohash_encode(lon, lat, 8)
+    assert gh[0].startswith("ezs42")
+    assert gh[1] == "sqc8b49r"
+    x0, y0, x1, y1 = geohash_decode_bounds(gh, 8)
+    assert ((x0 <= lon) & (lon < x1) & (y0 <= lat) & (lat < y1)).all()
+    # prefix-containment: the 6-char cell contains the 8-char cell
+    gh6 = geohash_encode(lon, lat, 6)
+    assert all(g8.startswith(g6) for g8, g6 in zip(gh, gh6))
+    a0, b0, a1, b1 = geohash_decode_bounds(gh6, 6)
+    assert ((a0 <= x0) & (x1 <= a1) & (b0 <= y0) & (y1 <= b1)).all()
+
+
+def test_geohash_rejects_bad_input():
+    from etf_topox_spark.functions.cells import geohash_decode_bounds, geohash_encode
+
+    with pytest.raises(ValueError):
+        geohash_encode(np.zeros(1), np.zeros(1), 7)  # odd precision
+    with pytest.raises(ValueError):
+        geohash_decode_bounds(np.array(["aaaaaaaa"], dtype=object), 8)  # 'a' invalid
