@@ -123,3 +123,79 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_id")
     )
+
+
+# --- T2c: gap-fill / resample with forward fill --------------------------------
+
+@query(
+    "timeseries_gapfill",
+    oracle=f"""
+    WITH b AS (
+      SELECT user_id, time_bucket(INTERVAL '1 hour', ts) AS bucket,
+             {_dsum_sql('value')} AS sum_value,
+             COUNT(*) AS n_events
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    span AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+    grid AS (
+      SELECT u.user_id, g.bucket
+      FROM (SELECT DISTINCT user_id FROM b) u,
+           (SELECT unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket
+            FROM span) g
+    ),
+    j AS (
+      SELECT grid.user_id, grid.bucket, b.sum_value, b.n_events
+      FROM grid LEFT JOIN b USING (user_id, bucket)
+    )
+    SELECT user_id, bucket,
+           COALESCE(n_events, 0) AS n_events,
+           COALESCE(sum_value,
+                    LAST_VALUE(sum_value IGNORE NULLS)
+                      OVER (PARTITION BY user_id ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    0.0) AS filled_value,
+           n_events IS NULL AS is_gap
+    FROM j
+    """,
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's click stream to a dense 1-hour grid and
+    forward-fill gaps — the sensor/metrics regularization op (and the
+    shape a feature-extraction pipeline uses before windowed training).
+
+    Scale shape: the raw table reduces FIRST (per-(user, bucket) partial
+    agg — the only input-sized exchange); the dense grid is generated from
+    the reduced table's span via sequence() (never a row per raw event),
+    and the fill is a per-user window over the reduced grid. Grid size =
+    users × buckets, independent of event count."""
+    e = T(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    b = e.groupBy(
+        "user_id", F.window("ts", "1 hour").start.alias("bucket")
+    ).agg(dsum(F.col("value")).alias("sum_value"), F.count(F.lit(1)).alias("n_events"))
+    span = b.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    grid = (
+        b.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    j = grid.join(b, ["user_id", "bucket"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce(
+            "sum_value", F.last("sum_value", ignorenulls=True).over(w), F.lit(0.0)
+        ).alias("filled_value"),
+        F.col("n_events").isNull().alias("is_gap"),
+    )

@@ -168,3 +168,21 @@ def test_geohash_rejects_bad_input():
         geohash_encode(np.zeros(1), np.zeros(1), 7)  # odd precision
     with pytest.raises(ValueError):
         geohash_decode_bounds(np.array(["aaaaaaaa"], dtype=object), 8)  # 'a' invalid
+
+
+def test_gapfill_grid_dense_and_filled(spark, sf_smoke):
+    from etf_topox_spark.operators.timewindows import timeseries_gapfill
+
+    out = timeseries_gapfill(spark, sf_smoke).toPandas()
+    # dense grid: every user has exactly the same bucket set
+    per_user = out.groupby("user_id")["bucket"].count()
+    assert per_user.nunique() == 1
+    # gaps are filled with the previous non-gap value (or 0 before any)
+    one = out[out["user_id"] == out["user_id"].iloc[0]].sort_values("bucket")
+    prev = 0.0
+    for r in one.itertuples(index=False):
+        if r.is_gap:
+            assert r.filled_value == prev and r.n_events == 0
+        else:
+            assert r.n_events > 0
+            prev = r.filled_value
