@@ -117,7 +117,7 @@ def run_suite(cpus: str) -> dict:
         ok = edges.filter(F.col("h1") != F.col("h2"))
         # the Theme session knows its names (R2) → dictionary-encoded
         # stats exchange (no strings through the shuffle)
-        stats = undirected_edge_stats(ok, themes=["theme0"])
+        stats = undirected_edge_stats(ok, themes=["theme0"], with_holes=True)
         n = (
             boundary_errors(stats)
             .unionByName(intersection_errors(ok, CELL, themes=["theme0"]))
