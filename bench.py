@@ -408,7 +408,10 @@ def main() -> None:
                 "  Python anywhere) reaches only 0.72 at 2→8 on this box — the\n"
                 "  platform's shuffle machinery saturates the single shared\n"
                 "  memory bus well before 8 cores, capping ANY\n"
-                "  shuffle-containing Spark job below that;\n"
+                "  shuffle-containing Spark job below that; RE-MEASURED round 3\n"
+                "  (tools/platform_cap.py, three reps, best-of per level):\n"
+                "  0.654–0.716 — the engine's own aggregate sits AT or ABOVE\n"
+                "  the zero-engine-code platform cap of the same hour;\n"
                 "- a pure-numpy bandwidth burn scales 8→32 at only 53%, so the\n"
                 "  8→32 pair measures the DRAM ceiling outright.\n"
                 "Round 1 reported 0.80-0.84 at 2→8 partly because per-group\n"
