@@ -235,3 +235,21 @@ def test_interior_errors_no_stats_wide_join(spark):
     for line in plan.splitlines():
         if "Join" in line and ("lo_h" in line or "hi_h" in line):
             raise AssertionError(f"stats-wide edge-key join survived: {line}")
+
+
+def test_aqe_runtime_replan_active(spark):
+    """AQE must actually re-plan at runtime (north rule: 'AQE for runtime
+    re-plan'): after executing a shuffle whose 32 static partitions carry
+    tiny data, the final adaptive plan must show coalesced shuffle reads."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.range(0, 100_000)
+        .select((F.col("id") % 50).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    df.collect()  # finalize the adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan isFinalPlan=true" in plan
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
