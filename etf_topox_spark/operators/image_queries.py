@@ -25,6 +25,7 @@ from etf_topox_spark.sources.images import (
     synthetic_images,
 )
 from etf_topox_spark.sources.mosaic import surface_mosaic
+from etf_topox_spark.sources.tables import load_table as TT
 
 N_IMAGES = 600
 GRID_N = 20
@@ -766,4 +767,177 @@ def image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return imgs.mapInPandas(
         kernel, "image_id string, entropy_bits double, gray_mean double"
+    )
+
+
+# --- bounding-box NMS over synthetic detections -------------------------------
+
+# Detections derived deterministically from lineitem (pure integer closed
+# form, so the DuckDB oracle replays them exactly): one box per distinct
+# line item, placed on image (l_orderkey % NMS_IMAGES) of a 256x256 canvas.
+# (orderkey, linenumber) is NOT unique in the synthetic corpus, so box_id
+# bit-packs all four participating ints (orderkey:*, linenumber:3,
+# partkey:20, suppkey:11 bits — injective at every shipped sf) and the box
+# table is DISTINCT over it. Scores are a multiplicative bit-mix of box_id;
+# a score tie (possible mod 2^32) just leaves both boxes alive — the rule
+# stays total and engine/oracle-deterministic.
+NMS_IMAGES = 500
+NMS_IOU_NUM, NMS_IOU_DEN = 3, 10  # suppress at IoU >= 0.3, exact rational
+
+_NMS_BOX_ID_SQL = (
+    "((l_orderkey * 8 + l_linenumber) * 1048576 + l_partkey % 1048576) * 2048"
+    " + l_suppkey % 2048"
+)
+
+_NMS_BOXES_SQL = f"""
+  SELECT DISTINCT
+         {_NMS_BOX_ID_SQL} AS box_id,
+         l_orderkey % {NMS_IMAGES} AS image_id,
+         (l_partkey * 13) % 192 AS x0,
+         (l_suppkey * 29) % 192 AS y0,
+         (l_partkey * 13) % 192 + 16 + l_partkey % 49 AS x1,
+         (l_suppkey * 29) % 192 + 16 + l_suppkey % 49 AS y1,
+         ((({_NMS_BOX_ID_SQL}) % 2097152) * 2654435761
+            + (({_NMS_BOX_ID_SQL}) // 2097152) * 2246822519
+            + ({_NMS_BOX_ID_SQL})) % 4294967296 AS score
+  FROM lineitem
+"""
+
+_NMS_SQL = f"""
+WITH boxes AS ({_NMS_BOXES_SQL}),
+pairs AS (
+  SELECT b.box_id,
+         GREATEST(0, LEAST(a.x1, b.x1) - GREATEST(a.x0, b.x0))
+           * GREATEST(0, LEAST(a.y1, b.y1) - GREATEST(a.y0, b.y0)) AS inter,
+         (a.x1 - a.x0) * (a.y1 - a.y0) + (b.x1 - b.x0) * (b.y1 - b.y0) AS s_area
+  FROM boxes a JOIN boxes b
+    ON a.image_id = b.image_id AND a.score > b.score
+),
+sup AS (
+  SELECT DISTINCT box_id FROM pairs
+  WHERE inter * {NMS_IOU_DEN} >= (s_area - inter) * {NMS_IOU_NUM}
+)
+SELECT box_id, image_id, x0, y0, x1, y1, score
+FROM boxes WHERE box_id NOT IN (SELECT box_id FROM sup)
+ORDER BY box_id
+"""
+
+
+def nms_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic detection table (engine twin of _NMS_BOXES_SQL)."""
+    li = TT(spark, sf_dir, "lineitem")
+    box_id = (
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")) * 1048576
+        + F.col("l_partkey") % 1048576
+    ) * 2048 + F.col("l_suppkey") % 2048
+    return li.select(
+        box_id.alias("box_id"),
+        (F.col("l_orderkey") % NMS_IMAGES).alias("image_id"),
+        ((F.col("l_partkey") * 13) % 192).alias("x0"),
+        ((F.col("l_suppkey") * 29) % 192).alias("y0"),
+        ((F.col("l_partkey") * 13) % 192 + 16 + F.col("l_partkey") % 49).alias("x1"),
+        ((F.col("l_suppkey") * 29) % 192 + 16 + F.col("l_suppkey") % 49).alias("y1"),
+        (
+            F.pmod(
+                (box_id % 2097152) * 2654435761
+                + F.expr(
+                    "((((l_orderkey * 8 + l_linenumber) * 1048576"
+                    " + l_partkey % 1048576) * 2048 + l_suppkey % 2048)"
+                    " div 2097152) * 2246822519"
+                )
+                + box_id,
+                F.lit(4294967296),
+            )
+        ).alias("score"),
+    ).distinct()
+
+
+@query("image_box_nms", oracle=_NMS_SQL)
+def image_box_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box suppression for detection/crop dedup — the Matrix-NMS
+    hard rule: drop any box that overlaps (IoU >= 0.3) ANY higher-scored box
+    in the same image. Unlike greedy Soft-NMS this rule has no sequential
+    dependency, so it is one within-image self-join + one anti-join — the
+    shape that survives 10^12 detections (pairs are bounded per image;
+    boxes-per-image is bounded by the detector's top-k, and a hot image key
+    would reuse the pip_join recon-salting). All-integer IoU test
+    (inter*10 >= union*3) keeps both engines bit-exact.
+
+    Reference tie-in: suppression-by-overlap mirrors TopoX's
+    duplicate/overlapping-boundary rejection (same "conflict kills the
+    newcomer" shape), lifted to scored raster regions."""
+    b = nms_boxes(spark, sf_dir)
+    a = b.select(
+        F.col("image_id").alias("a_image_id"),
+        F.col("score").alias("a_score"),
+        F.col("x0").alias("a_x0"),
+        F.col("y0").alias("a_y0"),
+        F.col("x1").alias("a_x1"),
+        F.col("y1").alias("a_y1"),
+        ((F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))).alias("a_area"),
+    )
+    inter = F.greatest(
+        F.lit(0), F.least("a_x1", "x1") - F.greatest("a_x0", "x0")
+    ) * F.greatest(F.lit(0), F.least("a_y1", "y1") - F.greatest("a_y0", "y0"))
+    area = (F.col("x1") - F.col("x0")) * (F.col("y1") - F.col("y0"))
+    suppressed = (
+        b.join(
+            a,
+            (F.col("image_id") == F.col("a_image_id"))
+            & (F.col("a_score") > F.col("score")),
+        )
+        .where(
+            inter * NMS_IOU_DEN >= (F.col("a_area") + area - inter) * NMS_IOU_NUM
+        )
+        .select("box_id")
+        .distinct()
+    )
+    return b.join(suppressed, "box_id", "left_anti").orderBy("box_id")
+
+
+@query("image_box_nms_greedy")
+def image_box_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic greedy NMS (the detector-head reference semantics): walk each
+    image's boxes by descending score; keep a box iff it overlaps no
+    ALREADY-KEPT box at IoU >= 0.3. The keep-set is a superset of
+    image_box_nms's matrix rule (a suppressed suppressor cannot kill there);
+    pytest pins both that containment and a pure-python replay. Sequential
+    per image, parallel across images — one Arrow kernel per image group
+    (the standard vectorized-suppression loop: each kept box eliminates its
+    whole overlap set in one numpy pass). Rows-only in the driver: greedy
+    order is not SQL-expressible without per-image recursion."""
+    import numpy as np
+    import pandas as pd
+
+    boxes = nms_boxes(spark, sf_dir)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        # total order: score desc, box_id asc — deterministic whatever
+        # partition order Spark hands the group in
+        o = np.lexsort(
+            (pdf["box_id"].to_numpy(np.int64), -pdf["score"].to_numpy(np.int64))
+        )
+        x0, y0, x1, y1 = (
+            pdf[c].to_numpy(np.int64)[o] for c in ("x0", "y0", "x1", "y1")
+        )
+        area = (x1 - x0) * (y1 - y0)
+        alive = np.ones(len(o), bool)
+        keep = np.zeros(len(o), bool)
+        for i in range(len(o)):
+            if not alive[i]:
+                continue
+            keep[i] = True
+            ix = np.maximum(
+                0, np.minimum(x1[i], x1) - np.maximum(x0[i], x0)
+            ) * np.maximum(0, np.minimum(y1[i], y1) - np.maximum(y0[i], y0))
+            union = area[i] + area - ix
+            alive &= ix * NMS_IOU_DEN < union * NMS_IOU_NUM
+            alive[i] = False
+        return pdf.iloc[o[keep]]
+
+    out_schema = "box_id long, image_id long, x0 long, y0 long, x1 long, y1 long, score long"
+    return (
+        boxes.groupBy("image_id")
+        .applyInPandas(kernel, out_schema)
+        .orderBy("box_id")
     )

@@ -682,3 +682,45 @@ def join_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                             AND o2.o_totalprice < 5000)
         """
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-Q3-style shipping priority (3-table join + agg + deterministic top-k)
+# --------------------------------------------------------------------------
+
+_Q3_SQL = f"""
+SELECT l_orderkey,
+       {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: filter both fact sides BEFORE the joins (predicate
+    pushdown reaches both scans), customer side broadcasts (dim-sized after
+    the segment filter), revenue via the exact decimal-cast sum. The LIMIT
+    carries a total tiebreak (revenue, o_orderdate, l_orderkey) so the
+    top-k frontier is engine-independent even under revenue ties."""
+    cutoff = F.to_timestamp_ntz(F.lit("1998-03-15 00:00:00"))
+    c = T(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderdate") < cutoff)
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )

@@ -706,3 +706,40 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "dim")
     )
+
+
+# --- int8 scalar quantization ---------------------------------------------------
+
+_QUANT_SQL = """
+WITH x AS (
+  SELECT vec_id,
+         unnest(range(len(embedding))) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings),
+mx AS (SELECT pos, MAX(abs(v)) AS maxabs FROM x GROUP BY pos)
+SELECT x.vec_id, x.pos,
+       CAST(CASE WHEN mx.maxabs = 0 THEN 0
+                 ELSE floor(x.v * 127 / mx.maxabs) END AS BIGINT) AS q
+FROM x JOIN mx ON x.pos = mx.pos
+"""
+
+
+@query("embedding_quantize_int8", oracle=_QUANT_SQL)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension symmetric int8 scalar quantization — the compression
+    pass before an ANN index ships (4x smaller vectors, SIMD int8 dot
+    products). Two passes: a tiny per-dimension max-abs aggregate (64 rows,
+    partial-aggregable) broadcast back over the map-side explode. floor()
+    instead of round() keeps both engines bit-identical (the v*127/maxabs
+    double is IEEE-exact on both; round-half-to-even vs half-away would
+    not matter here but floor is unambiguous)."""
+    e = T(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "vf")
+    ).select("vec_id", F.col("pos").cast("long").alias("pos"), F.col("vf").cast("double").alias("v"))
+    mx = x.groupBy("pos").agg(F.max(F.abs("v")).alias("maxabs"))
+    q = (
+        F.when(F.col("maxabs") == 0, F.lit(0).cast("long"))
+        .otherwise(F.floor(F.col("v") * 127 / F.col("maxabs")))
+    )
+    return x.join(F.broadcast(mx), "pos").select("vec_id", "pos", q.alias("q"))

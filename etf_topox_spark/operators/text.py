@@ -878,3 +878,257 @@ def text_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.regexp_count("s", F.lit("[0-9]"))).alias("n_digit_chars"),
         )
     )
+
+
+# --- chunk-level exact dedup (paragraph dedup for single-line corpora) --------
+
+CHUNK_TOKS = 8  # fixed token-window "paragraph" unit (corpus is single-line)
+
+_CHUNK_DEDUP_SQL = rf"""
+WITH d AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0),
+ch AS (
+  SELECT doc_id,
+         unnest(list_transform(range((len(t) + {CHUNK_TOKS - 1}) // {CHUNK_TOKS}),
+                i -> array_to_string(t[(i*{CHUNK_TOKS}+1):(i*{CHUNK_TOKS}+{CHUNK_TOKS})], ' '))) AS chunk
+  FROM d),
+cnt AS (SELECT chunk, COUNT(*) AS n_occ FROM ch GROUP BY 1)
+SELECT ch.doc_id,
+       COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN cnt.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+       CAST(SUM(CASE WHEN cnt.n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS dup_ratio
+FROM ch JOIN cnt USING (chunk)
+GROUP BY ch.doc_id
+"""
+
+
+@query("text_chunk_dedup", oracle=_CHUNK_DEDUP_SQL)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document exact dedup: split each document into fixed 8-token
+    chunks (the paragraph unit for this single-line corpus), count each
+    chunk string globally, and report per document how much of it is
+    boilerplate duplicated elsewhere in the corpus. This is the
+    paragraph-dedup pass of a training pipeline (drop/keep decisions key on
+    dup_ratio). Scale shape: explode is map-side with bounded fan-out
+    (n_tokens/8 per doc); ONE hash aggregate on the chunk string + ONE
+    equi-join back — at 10^12 docs the chunk key would be md5(chunk) to
+    shrink the exchange, identical semantics."""
+    d = T(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim("text"), _WS_RE)
+    n_chunks = (F.floor((F.size(toks) - 1) / CHUNK_TOKS) + 1).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(F.slice(toks, i * CHUNK_TOKS + 1, CHUNK_TOKS), " "),
+    )
+    ch = d.select("doc_id", F.explode(chunk_arr).alias("chunk"))
+    cnt = ch.groupBy("chunk").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = F.when(F.col("n_occ") > 1, 1).otherwise(0)
+    return (
+        ch.join(cnt, "chunk")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            (F.col("n_dup_chunks").cast("double") / F.col("n_chunks")).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
+# --- deterministic quality-weighted sampling ----------------------------------
+
+# Ticket = first 32 bits of md5(doc_id-string) % 10000: uniform, content-
+# independent, and replayable on any engine with md5 (ANSI-mode Spark bans
+# wraparound multiplies, so a hex fold beats an FNV here). Keep-rate policy
+# in basis points by length bucket (documented, arbitrary): short docs are
+# mostly boilerplate -> 25%, mid 50%, long kept whole.
+SAMPLE_BUCKETS = (("low", 150, 2500), ("mid", 350, 5000), ("high", None, 10000))
+
+_SAMPLE_SQL = """
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+    list_reduce(
+      list_transform(string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), ''),
+                     c -> strpos('0123456789abcdef', c) - 1),
+      (a, c) -> a * 16 + c
+    ) % 10000 AS ticket
+  FROM documents),
+t AS (
+  SELECT doc_id, source, n_chars, ticket,
+         CASE WHEN n_chars < 150 THEN 'low'
+              WHEN n_chars < 350 THEN 'mid'
+              ELSE 'high' END AS bucket,
+         CASE WHEN n_chars < 150 THEN 2500
+              WHEN n_chars < 350 THEN 5000
+              ELSE 10000 END AS rate_bp
+  FROM h)
+SELECT doc_id, source, n_chars, bucket, ticket
+FROM t WHERE ticket < rate_bp
+ORDER BY doc_id
+"""
+
+
+def ticket32_col(col) -> F.Column:
+    """Uniform deterministic ticket in [0, 10000) from a string column:
+    md5 -> first 8 hex chars -> 32-bit int -> mod. Pure Catalyst (conv is
+    JVM-side), no overflow under ANSI mode (value < 2^32)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), F.lit(10000)
+    )
+
+
+@query("sample_quality_weighted", oracle=_SAMPLE_SQL)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic quality-weighted downsampling: every doc draws a
+    reproducible ticket in [0,10000) from an md5 hash of its id and is
+    kept iff ticket < the keep-rate of its length bucket. Map-only (no
+    shuffle, no RNG state): re-running the pipeline, resuming from
+    checkpoint, or moving a doc between partitions can never change the
+    sample — the property Spark's sample() cannot give across retries at
+    10^12 rows."""
+    d = T(spark, sf_dir, "documents")
+    ticket = ticket32_col(F.col("doc_id").cast("string"))
+    bucket = (
+        F.when(F.col("n_chars") < 150, "low")
+        .when(F.col("n_chars") < 350, "mid")
+        .otherwise("high")
+    )
+    rate = (
+        F.when(F.col("n_chars") < 150, 2500)
+        .when(F.col("n_chars") < 350, 5000)
+        .otherwise(10000)
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            bucket.alias("bucket"),
+            ticket.alias("ticket"),
+            rate.alias("rate_bp"),
+        )
+        .where(F.col("ticket") < F.col("rate_bp"))
+        .drop("rate_bp")
+        .orderBy("doc_id")
+    )
+
+
+# --- source-mix rebalance weights ----------------------------------------------
+
+_MIX_SQL = """
+WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total, COUNT(*) AS n_sources FROM s)
+SELECT source, n_docs,
+       n_docs * 10000 // total AS share_bp,
+       total * 10000 // (n_sources * n_docs) AS weight_bp,
+       total * 10000 // (n_sources * n_docs) // 10000 AS n_repeat_full,
+       (total * 10000 // (n_sources * n_docs)) % 10000 AS resid_bp
+FROM s, t ORDER BY source
+"""
+
+
+@query("source_mix_rebalance", oracle=_MIX_SQL)
+def source_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source resampling weights toward a uniform source mix — the
+    dataset-mixing step of a training pipeline. weight = total /
+    (n_sources * n_docs), carried as EXACT integer basis points (no float
+    division, so both engines agree bit-for-bit): repeat each doc
+    n_repeat_full times plus keep a further resid_bp/10000 deterministic
+    sample (composable with sample_quality_weighted's ticket). One tiny
+    hash aggregate + a broadcast of the one-row totals."""
+    s = (
+        T(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    t = s.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            F.expr("n_docs * 10000 div total").alias("share_bp"),
+            F.expr("total * 10000 div (n_sources * n_docs)").alias("weight_bp"),
+            F.expr("total * 10000 div (n_sources * n_docs) div 10000").alias(
+                "n_repeat_full"
+            ),
+            F.expr("(total * 10000 div (n_sources * n_docs)) % 10000").alias(
+                "resid_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+# --- sequence packing (next-fit) ------------------------------------------------
+
+PACK_BUDGET = 256  # context-window token budget per packed sequence
+
+_PACK_SQL = rf"""
+WITH RECURSIVE d AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents WHERE length(trim(text)) > 0),
+pack AS (
+  SELECT doc_id, source, n_tokens, rn, 1 AS bin, n_tokens AS acc
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.doc_id, d.source, d.n_tokens, d.rn,
+         CASE WHEN p.acc + d.n_tokens <= {PACK_BUDGET}
+              THEN p.bin ELSE p.bin + 1 END,
+         CASE WHEN p.acc + d.n_tokens <= {PACK_BUDGET}
+              THEN p.acc + d.n_tokens ELSE d.n_tokens END
+  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+SELECT doc_id, source, n_tokens, bin FROM pack ORDER BY doc_id
+"""
+
+
+@query("text_sequence_packing", oracle=_PACK_SQL)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing for LLM training: within each source,
+    docs in doc_id order fill a 256-token context window; when the next doc
+    would overflow, a new bin starts. The packing recurrence is inherently
+    sequential, so it runs as ONE Arrow kernel per source group (numpy
+    running state, no per-row Python); the oracle is the same recurrence as
+    a recursive CTE. Scale shape: at 10^12 docs the group key becomes
+    (source, shard = doc_id div K) so every executor packs an independent
+    shard — same kernel, bounded group size; bin ids then offset by shard."""
+    d = T(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), _WS_RE)).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        n = pdf["n_tokens"].to_numpy(np.int64)
+        bins = np.empty(len(n), np.int32)
+        b, acc = 1, 0
+        for k in range(len(n)):
+            if acc + n[k] <= PACK_BUDGET and k > 0:
+                acc += n[k]
+            else:
+                if k > 0:
+                    b += 1
+                acc = n[k]
+            bins[k] = b
+        pdf["bin"] = bins
+        return pdf
+
+    return (
+        base.groupBy("source")
+        .applyInPandas(pack, "doc_id bigint, source string, n_tokens bigint, bin int")
+        .orderBy("doc_id")
+    )

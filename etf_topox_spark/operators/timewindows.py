@@ -199,3 +199,66 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("filled_value"),
         F.col("n_events").isNull().alias("is_gap"),
     )
+
+
+# --- retention cohort matrix ---------------------------------------------------
+
+_RETENTION_SQL = """
+WITH firstw AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id),
+act AS (
+  SELECT DISTINCT e.user_id, f.cohort_week, date_trunc('week', e.ts) AS week
+  FROM events e JOIN firstw f ON e.user_id = f.user_id),
+mat AS (
+  SELECT cohort_week,
+         date_diff('day', cohort_week, week) // 7 AS week_idx,
+         COUNT(*) AS n_users
+  FROM act GROUP BY 1, 2)
+SELECT m.cohort_week, m.week_idx, m.n_users,
+       CAST(m.n_users AS DOUBLE) / c.n_users AS retention
+FROM mat m JOIN mat c
+  ON c.cohort_week = m.cohort_week AND c.week_idx = 0
+ORDER BY m.cohort_week, m.week_idx
+"""
+
+
+@query("event_retention_cohorts", oracle=_RETENTION_SQL)
+def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users bucketed by first-activity week,
+    counted as retained in each later week they act in. Every exchange
+    keys on user_id until the final tiny (cohort, week) rollup — the
+    sessionize/funnel partitioning reused; the week-0 denominator joins
+    back on the already-small matrix (broadcast). date_trunc('week') is
+    Monday-anchored in both engines and NTZ-safe (no epoch math)."""
+    ev = T(spark, sf_dir, "events")
+    firstw = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    act = (
+        ev.join(firstw, "user_id")
+        .select(
+            "user_id", "cohort_week", F.date_trunc("week", "ts").alias("week")
+        )
+        .distinct()
+    )
+    mat = act.groupBy(
+        "cohort_week",
+        F.expr("datediff(week, cohort_week) div 7").alias("week_idx"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+    base = (
+        mat.where(F.col("week_idx") == 0)
+        .select("cohort_week", F.col("n_users").alias("base_users"))
+    )
+    return (
+        mat.join(F.broadcast(base), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_idx",
+            "n_users",
+            (F.col("n_users").cast("double") / F.col("base_users")).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_idx")
+    )
