@@ -278,3 +278,57 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t3").alias("n_purchased"),
         )
     )
+
+
+# --- per-group z-score anomaly detection ---------------------------------------
+
+Z_THRESH = 2.5
+
+_ZSCORE_SQL = f"""
+WITH st AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         {_dsum_sql('value')} AS s,
+         {_dsum_sql('value * value')} AS sq
+  FROM events GROUP BY 1),
+mo AS (
+  SELECT event_type, n, s / n AS mean,
+         sqrt((sq - s * s / n) / n) AS sd
+  FROM st)
+SELECT e.event_id, e.event_type, e.value,
+       (e.value - m.mean) / m.sd AS z
+FROM events e JOIN mo m ON e.event_type = m.event_type
+WHERE abs((e.value - m.mean) / m.sd) > {Z_THRESH}
+ORDER BY e.event_id
+"""
+
+
+@query("events_anomaly_zscore", oracle=_ZSCORE_SQL)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 2.5) — the metric-anomaly
+    sweep of a monitoring pipeline. Moments come from ONE partial-aggregable
+    pass (count / decimal-exact sum / decimal-exact sum-of-squares), the
+    per-type row broadcasts back over the map-side z computation. Every
+    float op after the exact sums is a single IEEE-determined expression
+    (divide, subtract, sqrt), so engine and oracle agree bit-for-bit —
+    population sd, biased, as the closed form states."""
+    ev = T(spark, sf_dir, "events")
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(F.col("value")).alias("s"),
+        dsum(F.col("value") * F.col("value")).alias("sq"),
+    )
+    mo = st.select(
+        "event_type",
+        (F.col("s") / F.col("n")).alias("mean"),
+        F.sqrt((F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")).alias(
+            "sd"
+        ),
+    )
+    z = (F.col("value") - F.col("mean")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(mo), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .where(F.abs(F.col("z")) > Z_THRESH)
+        .orderBy("event_id")
+    )

@@ -523,3 +523,80 @@ def cell_geohash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lon_max double, lat_max double, contains boolean"
     )
     return pts.mapInPandas(kernel, schema).orderBy("point_id")
+
+
+# --- F9c: polygon/bbox polyfill (H3 polyfill analog) ----------------------------
+
+_PF_N = 2_000
+_PF_CELL = 16  # fine-cell side; rects are <= 48 wide -> <= 16 cells each
+_PF_RES_TAG = 9 << 58
+
+
+def _polyfill_oracle() -> str:
+    from etf_topox_spark.operators.spatial_queries import _RA, _rect_sql
+
+    sx = _morton_spread_sql("cx")
+    sy = _morton_spread_sql("cy")
+    c = _PF_CELL
+    h = c // 2
+    return f"""
+WITH r AS ({_rect_sql(_PF_N, *_RA)}),
+c1 AS (
+  SELECT i, x0, x1, y0, y1,
+         unnest(range(x0 // {c}, ((x1 - 1) // {c}) + 1)) AS cx
+  FROM r),
+c2 AS (
+  SELECT i, y0, y1, cx,
+         unnest(range(y0 // {c}, ((y1 - 1) // {c}) + 1)) AS cy
+  FROM c1
+  WHERE cx * {c} + {h} >= x0 AND cx * {c} + {h} < x1)
+SELECT i AS feature_id, {_PF_RES_TAG} | ({sx} | ({sy} << 1)) AS cell
+FROM c2
+WHERE cy * {c} + {h} >= y0 AND cy * {c} + {h} < y1
+ORDER BY feature_id, cell
+"""
+
+
+@query("cell_polyfill", oracle=_polyfill_oracle())
+def cell_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polyfill — the H3 API's region->cells primitive: every fine cell
+    whose CENTER (cx*16+8, cy*16+8) falls inside the (half-open) rectangle,
+    emitted as (feature_id, morton cell). The membership rule matches H3
+    polyfill's center containment, so cells tile exactly: adjoining
+    features never double-claim a cell (pytest pins the partition
+    property). Pure Catalyst: integer ceil/floor bounds -> bounded
+    sequence explode (<= 16 cells/feature) -> symbolic Morton spread via
+    bit ops, all inside whole-stage codegen; no shuffle at all until a
+    consumer aggregates. At 10^12 features the fan-out stays the
+    area-bounded constant; concave/ring geometry would swap the bbox
+    membership predicate for the pip_join kernel over the same candidate
+    explode."""
+    from etf_topox_spark.operators.spatial_queries import _RA, _rects
+
+    c, h = _PF_CELL, _PF_CELL // 2
+    r = _rects(spark, _PF_N, *_RA)
+    # candidate ranges stay non-negative (x0 >= 0, x1 >= x0+1), so integer
+    # division is floor == truncation on BOTH engines; the explicit center
+    # predicate then decides membership (a ceil-style bound on x1-h-1 would
+    # go negative for thin rects and Spark div / DuckDB // both truncate
+    # toward zero there — measured: a wrong cell for the unit rect at the
+    # origin)
+    c1 = r.select(
+        "i", "x0", "x1", "y0", "y1",
+        F.explode(
+            F.sequence(F.expr(f"x0 div {c}"), F.expr(f"(x1 - 1) div {c}"))
+        ).alias("cx"),
+    ).where((F.col("cx") * c + h >= F.col("x0")) & (F.col("cx") * c + h < F.col("x1")))
+    c2 = c1.select(
+        "i", "y0", "y1", "cx",
+        F.explode(
+            F.sequence(F.expr(f"y0 div {c}"), F.expr(f"(y1 - 1) div {c}"))
+        ).alias("cy"),
+    ).where((F.col("cy") * c + h >= F.col("y0")) & (F.col("cy") * c + h < F.col("y1")))
+    cell = F.expr(
+        f"{_PF_RES_TAG} | (({_morton_spread_sql('cx')})"
+        f" | (({_morton_spread_sql('cy')}) << 1))"
+    )
+    return c2.select(F.col("i").alias("feature_id"), cell.alias("cell")).orderBy(
+        "feature_id", "cell"
+    )

@@ -724,3 +724,198 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Market-basket pair mining (co-occurrence + lift)
+# --------------------------------------------------------------------------
+
+BASKET_MIN_SUP = 3
+
+_BASKET_SQL = f"""
+WITH it AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM it),
+supp AS (SELECT l_partkey, COUNT(*) AS n_ord FROM it GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_pair
+  FROM it a JOIN it b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUP})
+SELECT p.part_a, p.part_b, p.n_pair, sa.n_ord AS n_a, sb.n_ord AS n_b,
+       (CAST(p.n_pair AS DOUBLE) * n.n_orders) / (sa.n_ord * sb.n_ord) AS lift
+FROM pairs p
+JOIN supp sa ON sa.l_partkey = p.part_a
+JOIN supp sb ON sb.l_partkey = p.part_b
+CROSS JOIN n
+ORDER BY part_a, part_b
+"""
+
+
+@query("orders_market_basket", oracle=_BASKET_SQL)
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining: part pairs co-ordered in the same order, with
+    support counts and lift = P(a,b)/(P(a)P(b)). The pair fan-out is the
+    within-order self-join — bounded by basket size (≤ 13 parts/order in
+    this corpus, ≤ 10² in any retail corpus), so pairs ≈ k²/2 × #orders,
+    never #parts². Part supports (|parts| rows) broadcast back onto the
+    pair aggregate; the one-row order count broadcasts too. lift keeps a
+    single double division (exact-int operands) so engines agree
+    bit-for-bit."""
+    it = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    b = it.select(
+        F.col("l_orderkey").alias("bo"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        it.join(b, (it.l_orderkey == b.bo) & (it.l_partkey < b.part_b))
+        .groupBy(F.col("l_partkey").alias("part_a"), "part_b")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .where(F.col("n_pair") >= BASKET_MIN_SUP)
+    )
+    supp = it.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_ord"))
+    n = it.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    sa = supp.select(F.col("l_partkey").alias("part_a"), F.col("n_ord").alias("n_a"))
+    sb = supp.select(F.col("l_partkey").alias("part_b"), F.col("n_ord").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a", "part_b", "n_pair", "n_a", "n_b",
+            (
+                (F.col("n_pair").cast("double") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Fixed-iteration PageRank over the nation trade graph
+# --------------------------------------------------------------------------
+
+PR_DAMP = 0.85
+PR_ITERS = 3
+
+
+def _pr_edges_sql() -> str:
+    """Edge weights: lineitem count from customer-nation u to
+    supplier-nation v, normalized to out-shares of u."""
+    return """
+edges AS (
+  SELECT c.c_nationkey AS u, s.s_nationkey AS v, COUNT(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+outw AS (SELECT u, CAST(SUM(cnt) AS BIGINT) AS tot FROM edges GROUP BY 1),
+w AS (SELECT e.u, e.v, CAST(e.cnt AS DOUBLE) / o.tot AS share
+      FROM edges e JOIN outw o ON e.u = o.u),
+nn AS (SELECT COUNT(*) AS n FROM nation)"""
+
+
+def _pr_iter_sql(prev: str, out: str) -> str:
+    # order-independent sum via integer floor-scaling: floor((r*share)*1e12)
+    # is one unambiguous chain of IEEE ops (a DECIMAL cast would NOT be —
+    # Spark converts double->decimal through exact BigDecimal while DuckDB
+    # scales in double arithmetic, and they disagree near quantum
+    # boundaries; measured one 1e-6 flip on this very graph)
+    return f""",
+{out} AS (
+  SELECT nt.n_nationkey AS v,
+         -- CAST the damping factor: DuckDB parses bare 0.85 as DECIMAL and
+         -- would compute (1-0.85) EXACTLY, while Spark subtracts doubles
+         -- (0.15000000000000002) — a measured 1-ulp r divergence
+         (1 - CAST({PR_DAMP} AS DOUBLE)) / nn.n
+           + CAST({PR_DAMP} AS DOUBLE)
+             * (CAST(COALESCE(m.acc, 0) AS DOUBLE) / 1e12) AS r
+  FROM nation nt
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT w.v,
+           CAST(SUM(CAST(floor((p.r * w.share) * 1e12) AS BIGINT)) AS BIGINT) AS acc
+    FROM {prev} p JOIN w ON w.u = p.v GROUP BY w.v) m
+    ON m.v = nt.n_nationkey)"""
+
+
+_PAGERANK_SQL = (
+    "WITH "
+    + _pr_edges_sql()
+    + """,
+r0 AS (SELECT n_nationkey AS v, CAST(1 AS DOUBLE) / nn.n AS r
+       FROM nation CROSS JOIN nn)"""
+    + "".join(_pr_iter_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))
+    + f"""
+SELECT nt.n_name AS nation, rk.r AS rank
+FROM r{PR_ITERS} rk JOIN nation nt ON nt.n_nationkey = rk.v
+ORDER BY nation
+"""
+)
+
+
+@query("graph_pagerank", oracle=_PAGERANK_SQL)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, d=0.85) over the nation trade graph
+    (customer-nation -> supplier-nation, edge weight = lineitem count
+    normalized to out-shares). The iterative-join algebra the engine's CC
+    already uses, with VALUES instead of labels: each iteration is one
+    equi-join rank⋈edges + one groupBy on the destination — at 10^9 nodes
+    the join keys on the partitioned node id and the rank table reuses the
+    same partitioning every round (no re-exchange of the edge table). Each
+    r*share term floor-scales to an int64 at 1e-12 before summation, so the
+    ranks are bit-identical on both engines regardless of add order (an
+    exact-integer variant of the dsum pattern — see _pr_iter_sql for why a
+    DECIMAL cast is not engine-portable here).
+    Dangling mass is dropped (standard simplification), teleport keeps the
+    distribution proper."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nt = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("c_nationkey").alias("u"), F.col("s_nationkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    outw = edges.groupBy("u").agg(F.sum("cnt").alias("tot"))
+    w = edges.join(outw, "u").select(
+        "u", "v", (F.col("cnt").cast("double") / F.col("tot")).alias("share")
+    )
+    n_nations = nt.count()  # 25-row dim: a driver count is the broadcast
+    ranks = nt.select(
+        F.col("n_nationkey").alias("v"),
+        (F.lit(1.0) / n_nations).cast("double").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        src = ranks.select(F.col("v").alias("src"), "r")
+        acc = (
+            src.join(w, src.src == w.u)
+            .groupBy(F.col("v").alias("dst"))
+            .agg(
+                F.sum(F.floor((F.col("r") * F.col("share")) * F.lit(1e12))).alias(
+                    "acc"
+                )
+            )
+        )
+        ranks = (
+            nt.select(F.col("n_nationkey").alias("v"))
+            .join(F.broadcast(acc), F.col("v") == F.col("dst"), "left")
+            .select(
+                "v",
+                (
+                    F.lit((1 - PR_DAMP)) / n_nations
+                    + PR_DAMP
+                    * (F.coalesce(F.col("acc"), F.lit(0)).cast("double") / F.lit(1e12))
+                ).alias("r"),
+            )
+        )
+    return (
+        ranks.join(F.broadcast(nt), ranks.v == nt.n_nationkey)
+        .select(F.col("n_name").alias("nation"), F.col("r").alias("rank"))
+        .orderBy("nation")
+    )

@@ -253,3 +253,45 @@ def test_aqe_runtime_replan_active(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AdaptiveSparkPlan isFinalPlan=true" in plan
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_q3_filters_push_below_joins_and_dim_broadcasts(spark):
+    df = QUERIES["q3_shipping_priority"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    # both timestamp filters must reach the parquet scans
+    assert plan.count("PushedFilters: [IsNotNull") >= 2
+    assert "1998-03-15" in plan  # pushed literal visible at a scan
+
+
+def test_polyfill_is_shuffle_free_codegen(spark):
+    df = QUERIES["cell_polyfill"](spark, SF)
+    plan = _plan(df)
+    # map-side explode + bit ops only: no exchange other than the final
+    # presentation sort, no Python eval of any kind
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchange is the presentation orderBy (range partitioning);
+    # the kernel itself never hash-shuffles (Generate nodes split the
+    # codegen span, so no WSCG assertion — the ops are still all JVM)
+    assert "Exchange hashpartitioning" not in plan
+    assert "Generate" in plan
+
+
+def test_market_basket_supports_broadcast_back(spark):
+    df = QUERIES["orders_market_basket"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    # the per-item support join and the one-row totals join both broadcast;
+    # only the within-order pair join and the aggregates may shuffle
+    assert plan.count("BroadcastHashJoin") >= 2 or (
+        "BroadcastHashJoin" in plan and "BroadcastNestedLoopJoin" in plan
+    )
+
+
+def test_zscore_moments_broadcast_back(spark):
+    df = QUERIES["events_anomaly_zscore"](spark, SF)
+    df.collect()
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

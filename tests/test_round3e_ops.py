@@ -226,3 +226,69 @@ def test_greedy_nms_replay_and_containment(spark):
                 kept.append(r)
         expect.update(k.box_id for k in kept)
     assert greedy == expect
+
+
+def test_market_basket_bounds(spark):
+    from etf_topox_spark.operators.relational import (
+        BASKET_MIN_SUP,
+        orders_market_basket,
+    )
+
+    out = orders_market_basket(spark, SF).toPandas()
+    assert (out["part_a"] < out["part_b"]).all()
+    assert (out["n_pair"] >= BASKET_MIN_SUP).all()
+    # pair support can never exceed either item's support
+    assert (out["n_pair"] <= out[["n_a", "n_b"]].min(axis=1)).all()
+    assert (out["lift"] > 0).all()
+
+
+def test_pagerank_is_proper_distribution(spark):
+    from etf_topox_spark.operators.relational import graph_pagerank
+
+    out = graph_pagerank(spark, SF).toPandas()
+    assert len(out) == 25
+    # teleport floor and proper-ish total (dangling mass drops, floor-scale
+    # truncation only ever loses mass)
+    assert (out["rank"] >= (1 - 0.85) / 25).all()
+    assert 0.9 < out["rank"].sum() <= 1.0 + 1e-9
+
+
+def test_zscore_moments_match_numpy(spark):
+    from etf_topox_spark.operators.aggregates import Z_THRESH, events_anomaly_zscore
+
+    out = events_anomaly_zscore(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    flagged = set(out["event_id"])
+    for etype, g in ev.groupby("event_type"):
+        v = g["value"].to_numpy(np.float64)
+        # numpy population moments; quantization of the decimal-exact sums
+        # is 1e-6, far below the 2.5-sigma decision margin on this corpus
+        z = (v - v.mean()) / v.std()
+        exp = set(g["event_id"].to_numpy()[np.abs(z) > Z_THRESH])
+        assert exp == {e for e in flagged if e in set(g["event_id"])}, etype
+    assert (out["z"].abs() > Z_THRESH).all()
+
+
+def test_polyfill_center_rule_and_tiling(spark):
+    from etf_topox_spark.operators.export import _PF_CELL, cell_polyfill
+    from etf_topox_spark.operators.spatial_queries import _RA, _rects
+
+    out = cell_polyfill(spark, SF).toPandas()
+    rects = _rects(spark, 2_000, *_RA).toPandas().set_index("i")
+    # python replay of the center-containment rule
+    import collections
+    exp = collections.defaultdict(set)
+    from etf_topox_spark.functions.cells import _spread_bits32
+    h = _PF_CELL // 2
+    for i, r in rects.iterrows():
+        for cx in range(int(r.x0) // _PF_CELL, int(r.x1) // _PF_CELL + 1):
+            for cy in range(int(r.y0) // _PF_CELL, int(r.y1) // _PF_CELL + 1):
+                px, py = cx * _PF_CELL + h, cy * _PF_CELL + h
+                if r.x0 <= px < r.x1 and r.y0 <= py < r.y1:
+                    sx = int(_spread_bits32(np.array([cx], np.uint64))[0])
+                    sy = int(_spread_bits32(np.array([cy], np.uint64))[0])
+                    exp[i].add((9 << 58) | (sx | (sy << 1)))
+    got = collections.defaultdict(set)
+    for r in out.itertuples(index=False):
+        got[r.feature_id].add(r.cell)
+    assert dict(got) == {k: v for k, v in exp.items() if v}
