@@ -883,8 +883,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     outw = edges.groupBy("u").agg(F.sum("cnt").alias("tot"))
-    w = edges.join(outw, "u").select(
-        "u", "v", (F.col("cnt").cast("double") / F.col("tot")).alias("share")
+    # cache the weighted edge table: every iteration re-joins it, and
+    # WITHOUT this the 4-table edge build replays per iteration (the
+    # classic iterative-Spark lineage blowup — the plan audit showed 17
+    # exchanges; cached it is built once and re-read)
+    w = (
+        edges.join(outw, "u")
+        .select("u", "v", (F.col("cnt").cast("double") / F.col("tot")).alias("share"))
+        .cache()
     )
     n_nations = nt.count()  # 25-row dim: a driver count is the broadcast
     ranks = nt.select(

@@ -298,3 +298,66 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     ).orderBy("view_id", "click_id")
+
+
+# --- T2b: sliding-window top-k event types -------------------------------------
+
+TOPK_K = 3
+
+# batch twin: every event lands in exactly 2 sliding windows (30-min window,
+# 15-min slide): its own 15-min bucket and the one before
+_SLIDING_TOPK_ORACLE = f"""
+WITH wins AS (
+  SELECT time_bucket(INTERVAL '15 minutes', ts)
+           - k.range * INTERVAL '15 minutes' AS window_start,
+         event_type
+  FROM events, range(0, 2) k),
+agg AS (
+  SELECT window_start, event_type, COUNT(*) AS n_events
+  FROM wins GROUP BY 1, 2),
+rk AS (
+  SELECT window_start, event_type, n_events,
+         ROW_NUMBER() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rnk
+  FROM agg)
+SELECT window_start, event_type, n_events, CAST(rnk AS INT) AS rnk
+FROM rk WHERE rnk <= {TOPK_K}
+ORDER BY window_start, rnk
+"""
+
+
+@query("streaming_sliding_topk", oracle=_SLIDING_TOPK_ORACLE)
+def streaming_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-topics shape: sliding-window (30 min / 15 min slide)
+    event-type counts as a WATERMARKED STREAMING aggregation, then top-k
+    per window ranked on the materialized (already tiny) result — rank is
+    not a streaming-supported op, so the two-phase split is the production
+    pattern (stream keeps the heavy count state, the per-trigger rank runs
+    on #windows × #types rows). The (count desc, event_type) ordering is a
+    total order, so the k-frontier is engine-independent under count ties.
+    The oracle replays it as a batch: each event belongs to exactly two
+    slide buckets."""
+    from pyspark.sql.window import Window as W
+
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "30 minutes")
+        .groupBy(F.window("ts", "30 minutes", "15 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            _ntz(F.col("window.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    done = run_to_memory(agg, "sliding_topk", "complete")
+    rnk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), F.col("event_type")
+        )
+    )
+    return (
+        done.select("window_start", "event_type", "n_events", rnk.alias("rnk"))
+        .where(F.col("rnk") <= TOPK_K)
+        .orderBy("window_start", "rnk")
+    )

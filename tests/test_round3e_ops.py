@@ -292,3 +292,16 @@ def test_polyfill_center_rule_and_tiling(spark):
     for r in out.itertuples(index=False):
         got[r.feature_id].add(r.cell)
     assert dict(got) == {k: v for k, v in exp.items() if v}
+
+
+def test_streaming_sliding_topk_frontier(spark):
+    from etf_topox_spark.streaming.events import TOPK_K, streaming_sliding_topk
+
+    out = streaming_sliding_topk(spark, SF).toPandas()
+    assert out["rnk"].between(1, TOPK_K).all()
+    for _, g in out.groupby("window_start"):
+        g = g.sort_values("rnk")
+        assert list(g["rnk"]) == list(range(1, len(g) + 1))
+        # counts non-increasing along the rank
+        n = g["n_events"].to_numpy()
+        assert (n[:-1] >= n[1:]).all()
