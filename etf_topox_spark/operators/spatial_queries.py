@@ -883,3 +883,77 @@ def spatial_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     rings = surface_mosaic(spark, rows=ANTI_GRID, cols=ANTI_GRID, defect="valid_mosaic")
     inside = pip_join(spark, points, rings).select("point_id")
     return points.join(inside, "point_id", "left_anti").select("point_id", "x", "y")
+
+
+# --- distance (radius) join -----------------------------------------------------
+
+DIST_N = 4_000
+DIST_R = 0.25  # radius AND blocking-cell side; 0.25/0.0625 are binary-exact
+
+_DIST_SQL = f"""
+WITH pa AS (SELECT * FROM ({points_sql(DIST_N)}) WHERE point_id % 2 = 0),
+pb AS (SELECT * FROM ({points_sql(DIST_N, DIST_N)}) WHERE point_id % 2 = 0)
+SELECT pa.point_id AS a_id, pb.point_id AS b_id,
+       (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y) AS dist2
+FROM pa, pb
+WHERE (pa.x - pb.x) * (pa.x - pb.x) + (pa.y - pb.y) * (pa.y - pb.y)
+      <= {DIST_R * DIST_R}
+ORDER BY a_id, b_id
+"""
+
+
+@query("spatial_distance_join", oracle=_DIST_SQL)
+def spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join (all pairs within DIST_R) — the spatial primitive between
+    PIP and kNN: geofencing, proximity dedup, trajectory contact tracing.
+    Grid blocking at cell side == radius: the probe side explodes to its
+    3x3 neighbor cells, the build side keeps ONE cell each, so every
+    qualifying pair meets in exactly one (build-cell) bucket — no DISTINCT.
+    One equi-join exchange on the cell key; the exact IEEE predicate
+    ((dx)^2+(dy)^2 <= r^2, all binary-exact constants) confirms. The
+    scattered (cold) point family keeps the demo un-skewed; a hot cell
+    would reuse pip_join's recon salting. Oracle: the naive theta join."""
+    from pyspark.sql import functions as F
+
+    from etf_topox_spark.sources.points import synthetic_points
+
+    inv = 1.0 / DIST_R  # 4.0, exact
+    pa = (
+        synthetic_points(spark, DIST_N)
+        .where(F.col("point_id") % 2 == 0)
+        .select(
+            F.col("point_id").alias("a_id"),
+            F.col("x").alias("ax"),
+            F.col("y").alias("ay"),
+            F.floor(F.col("x") * inv).alias("acx"),
+            F.floor(F.col("y") * inv).alias("acy"),
+        )
+    )
+    pb = (
+        synthetic_points(spark, DIST_N, id_offset=DIST_N)
+        .where(F.col("point_id") % 2 == 0)
+        .select(
+            F.col("point_id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.floor(F.col("x") * inv).alias("cx"),
+            F.floor(F.col("y") * inv).alias("cy"),
+        )
+    )
+    probe = pa.select(
+        "a_id", "ax", "ay",
+        F.explode(F.sequence(F.col("acx") - 1, F.col("acx") + 1)).alias("cx"),
+        "acy",
+    ).select(
+        "a_id", "ax", "ay", "cx",
+        F.explode(F.sequence(F.col("acy") - 1, F.col("acy") + 1)).alias("cy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probe.join(pb, ["cx", "cy"])
+        .where(d2 <= F.lit(DIST_R * DIST_R))
+        .select("a_id", "b_id", d2.alias("dist2"))
+        .orderBy("a_id", "b_id")
+    )

@@ -305,3 +305,25 @@ def test_streaming_sliding_topk_frontier(spark):
         # counts non-increasing along the rank
         n = g["n_events"].to_numpy()
         assert (n[:-1] >= n[1:]).all()
+
+
+def test_distance_join_matches_numpy_brute_force(spark):
+    from etf_topox_spark.operators.spatial_queries import (
+        DIST_N,
+        DIST_R,
+        spatial_distance_join,
+    )
+    from etf_topox_spark.sources.points import _coords
+
+    out = spatial_distance_join(spark, SF).toPandas()
+    ia = np.arange(0, DIST_N); ia = ia[ia % 2 == 0]
+    ib = np.arange(DIST_N, 2 * DIST_N); ib = ib[ib % 2 == 0]
+    ax, ay = _coords(ia); bx, by = _coords(ib)
+    d2 = (ax[:, None] - bx) ** 2 + (ay[:, None] - by) ** 2
+    ii, jj = np.where(d2 <= DIST_R * DIST_R)
+    exp = set(zip(ia[ii].tolist(), ib[jj].tolist()))
+    got = set(zip(out["a_id"], out["b_id"]))
+    assert got == exp
+    assert (out["dist2"] <= DIST_R * DIST_R).all()
+    # inclusive boundary: the predicate keeps pairs at exactly r
+    assert len(exp) > 0
