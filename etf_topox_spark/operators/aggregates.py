@@ -332,3 +332,59 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.abs(F.col("z")) > Z_THRESH)
         .orderBy("event_id")
     )
+
+
+# --- RFM customer segmentation --------------------------------------------------
+
+_RFM_SQL = f"""
+WITH base AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(o_orderdate) AS recency,
+         COUNT(*) AS frequency,
+         {_dsum_sql('o_totalprice')} AS monetary
+  FROM orders GROUP BY 1),
+rk AS (
+  SELECT c_custkey,
+         NTILE(4) OVER (ORDER BY recency DESC, c_custkey) AS r,
+         NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS f,
+         NTILE(4) OVER (ORDER BY monetary DESC, c_custkey) AS m
+  FROM base)
+SELECT c_custkey, r, f, m, r * 100 + f * 10 + m AS segment
+FROM rk ORDER BY c_custkey
+"""
+
+
+@query("orders_rfm_segmentation", oracle=_RFM_SQL)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quartile segmentation — the classic customer-scoring rollup:
+    one partial-aggregable pass builds (recency, frequency, monetary) per
+    customer, then three NTILE(4) windows assign quartiles. Every window
+    carries the c_custkey tiebreak so the quartile boundaries are a total
+    order (double ties in monetary cannot flip buckets between engines).
+    The global windows are a deliberate exception to the no-global-window
+    rule: they run over the ALREADY-REDUCED per-customer table (#customers
+    rows, not #orders) — at 10^9 customers the quartile boundaries would
+    come from approx_percentile + a broadcast range join instead, trading
+    exactness for partitioning (documented, not implemented: the exact
+    form IS the semantics contract here)."""
+    from pyspark.sql.window import Window as W
+
+    o = T(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("recency"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice")).alias("monetary"),
+    )
+    r = F.ntile(4).over(W.orderBy(F.desc("recency"), "c_custkey"))
+    f = F.ntile(4).over(W.orderBy(F.desc("frequency"), "c_custkey"))
+    m = F.ntile(4).over(W.orderBy(F.desc("monetary"), "c_custkey"))
+    return (
+        base.select(
+            "c_custkey", r.alias("r"), f.alias("f"), m.alias("m")
+        )
+        .select(
+            "c_custkey", "r", "f", "m",
+            (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).alias("segment"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -327,3 +327,17 @@ def test_distance_join_matches_numpy_brute_force(spark):
     assert (out["dist2"] <= DIST_R * DIST_R).all()
     # inclusive boundary: the predicate keeps pairs at exactly r
     assert len(exp) > 0
+
+
+def test_rfm_quartiles_balanced(spark):
+    from etf_topox_spark.operators.aggregates import orders_rfm_segmentation
+
+    out = orders_rfm_segmentation(spark, SF).toPandas()
+    assert out["c_custkey"].is_unique
+    n = len(out)
+    for col in ("r", "f", "m"):
+        sizes = out[col].value_counts().sort_index()
+        assert list(sizes.index) == [1, 2, 3, 4]
+        # NTILE balance: bucket sizes differ by at most one
+        assert sizes.max() - sizes.min() <= 1 and sizes.sum() == n
+    assert (out["segment"] == out["r"] * 100 + out["f"] * 10 + out["m"]).all()
