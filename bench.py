@@ -106,10 +106,14 @@ def run_suite(cpus: str) -> dict:
         units[name] = rows
 
     # --- north-star: topology error detection (kernel stages) ---------------
-    # cell_size sized so each cell holds ~400 edges: the per-cell O(n²
-    # bbox-filtered) kernel amortizes per-group overhead; correctness is
-    # cell-size-invariant (tests/test_topology.py::test_cell_size_invariance)
-    CELL = 10.0
+    # cell_size sized so each cell holds ~20 edges: the stacked-mask grouped
+    # kernel has no per-cell overhead, so the optimum moved from ~400
+    # edges/cell (per-cell-loop era, CELL=10) to small cells — the bbox
+    # mask work is Σ s² and drops 3× at CELL=2 (measured 17.9→5.6 s
+    # single-proc on this mosaic) against a ~35% larger exploded exchange.
+    # Correctness is cell-size-invariant
+    # (tests/test_topology.py::test_cell_size_invariance).
+    CELL = 2.0
     rings = surface_mosaic(spark, rows=TOPO_ROWS, cols=TOPO_COLS, defect="dup_boundary")
 
     def topo_kernels():

@@ -121,7 +121,166 @@ def segment_intersections(
     J = np.concatenate(out_j) if out_j else np.empty(0, np.int64)
     if len(I) == 0:
         return _EMPTY
+    return _pair_tests(X1, Y1, X2, Y2, Xo1, Yo1, Xo2, Yo2, feat, ring, I, J)
 
+
+def segment_intersections_grouped(
+    x1: np.ndarray,
+    y1: np.ndarray,
+    x2: np.ndarray,
+    y2: np.ndarray,
+    feat: np.ndarray,
+    ring: np.ndarray,
+    cells: np.ndarray,
+):
+    """segment_intersections applied per cell, for MANY cells in ONE
+    kernel call — the form the per-partition topology kernel uses.
+
+    The per-cell loop pays ~30 small-numpy calls per cell; at millions of
+    cells per partition that per-call overhead IS the stage cost (measured
+    ~2 ms/cell ≈ 14 s single-proc on the 800×800 scaling mosaic while the
+    actual element work is < 2 s). Here the work is batched:
+
+    - rows stable-sort by cell (within-cell order — and therefore each
+      pair's (I, J) orientation and reported point — is preserved exactly
+      as the per-cell loop produced them);
+    - cells of EQUAL row-count stack into one (g, s, s) bbox-overlap mask
+      evaluated in a single broadcast expression (chunked so a chunk's
+      mask stays ≤ ~32M elements) — the same 4-comparison candidate mask
+      the per-cell form builds, amortized over g cells per numpy call.
+      A sweep-style sort on bxmin degenerates here (axis-aligned gridded
+      edges tie on bxmin, candidate ranges blow up ~100×: measured 67 s
+      vs 14 s); the dense per-cell mask with both axes prefiltering is
+      the right shape, it just must not be issued one cell at a time;
+    - cells larger than _BIG_CELL fall back to the per-cell blocked path
+      (skew guard, same as segment_intersections' own block loop);
+    - exact sign tests run ONCE over all surviving candidates
+      (_pair_tests), not per cell.
+
+    Cross products only ever see coordinate DIFFERENCES of same-cell pairs
+    (bounded by cell extent + edge length), so the batch-global
+    min-translation gives the same overflow headroom as the per-cell one.
+
+    Returns (I, J, px, py, same_ring, cellv): I/J index the INPUT arrays,
+    cellv is the cell each pair was generated in.
+    """
+    Xo1, Yo1 = coord_to_int(x1), coord_to_int(y1)
+    Xo2, Yo2 = coord_to_int(x2), coord_to_int(y2)
+    n = len(Xo1)
+    empty6 = _EMPTY + (np.empty(0, np.int64),)
+    if n < 2:
+        return empty6
+    ox = min(int(Xo1.min()), int(Xo2.min()))
+    oy = min(int(Yo1.min()), int(Yo2.min()))
+    X1, X2, Y1, Y2 = Xo1 - ox, Xo2 - ox, Yo1 - oy, Yo2 - oy
+    bxmin, bxmax = np.minimum(X1, X2), np.maximum(X1, X2)
+    bymin, bymax = np.minimum(Y1, Y2), np.maximum(Y1, Y2)
+
+    order = np.argsort(cells, kind="stable")
+    starts_all = np.nonzero(np.r_[True, cells[order][1:] != cells[order][:-1]])[0]
+    sizes_all = np.diff(np.r_[starts_all, n])
+    bxmin_s, bxmax_s = bxmin[order], bxmax[order]
+    bymin_s, bymax_s = bymin[order], bymax[order]
+
+    cand_i: list[np.ndarray] = []
+    cand_j: list[np.ndarray] = []
+    for s in np.unique(sizes_all):
+        if s < 2:
+            continue
+        cstarts = starts_all[sizes_all == s]
+        if s > _BIG_CELL:
+            # skew guard: huge cells keep the blocked per-cell path
+            for st in cstarts:
+                ii, jj = _block_candidates(
+                    bxmin_s[st : st + s], bxmax_s[st : st + s],
+                    bymin_s[st : st + s], bymax_s[st : st + s],
+                )
+                cand_i.append(ii + st)
+                cand_j.append(jj + st)
+            continue
+        tri = np.arange(s)[:, None] < np.arange(s)[None, :]  # j > i, (s, s)
+        g_chunk = max(1, (32 << 20) // int(s * s))
+        for c0 in range(0, len(cstarts), g_chunk):
+            cs = cstarts[c0 : c0 + g_chunk]
+            idx = cs[:, None] + np.arange(s)[None, :]  # (g, s) row gather
+            bx0, bx1 = bxmin_s[idx], bxmax_s[idx]
+            by0, by1 = bymin_s[idx], bymax_s[idx]
+            m = (
+                (bx0[:, :, None] <= bx1[:, None, :])
+                & (bx1[:, :, None] >= bx0[:, None, :])
+                & (by0[:, :, None] <= by1[:, None, :])
+                & (by1[:, :, None] >= by0[:, None, :])
+                & tri[None, :, :]
+            )
+            gi, ii, jj = np.nonzero(m)
+            cand_i.append(cs[gi] + ii)
+            cand_j.append(cs[gi] + jj)
+    if not cand_i:
+        return empty6
+    I_s = np.concatenate(cand_i)
+    J_s = np.concatenate(cand_j)
+    if len(I_s) == 0:
+        return empty6
+    I, J = order[I_s], order[J_s]
+    # chunk the exact tests so per-candidate intermediates stay cache-sized
+    # (tens of millions of candidates × ~20 live arrays would stream GBs
+    # through DRAM); chunk boundaries don't change any per-pair value.
+    step = 2_000_000
+    if len(I) <= step:
+        res = _pair_tests(X1, Y1, X2, Y2, Xo1, Yo1, Xo2, Yo2, feat, ring, I, J)
+        return res + (cells[res[0]],)
+    parts = [
+        _pair_tests(
+            X1, Y1, X2, Y2, Xo1, Yo1, Xo2, Yo2, feat, ring,
+            I[s0 : s0 + step], J[s0 : s0 + step],
+        )
+        for s0 in range(0, len(I), step)
+    ]
+    res = tuple(np.concatenate([p[k] for p in parts]) for k in range(5))
+    return res + (cells[res[0]],)
+
+
+_BIG_CELL = 4096
+
+
+def _block_candidates(bxmin, bxmax, bymin, bymax, block: int = 1024):
+    """Blocked O(n²/block) bbox candidate pairs for ONE oversized cell —
+    the same loop segment_intersections runs, extracted for the grouped
+    form's skew fallback."""
+    n = len(bxmin)
+    out_i: list[np.ndarray] = []
+    out_j: list[np.ndarray] = []
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        ii = np.arange(s, e)
+        m = (
+            (bxmin[ii][:, None] <= bxmax[None, :])
+            & (bxmax[ii][:, None] >= bxmin[None, :])
+            & (bymin[ii][:, None] <= bymax[None, :])
+            & (bymax[ii][:, None] >= bymin[None, :])
+        )
+        m &= np.arange(n)[None, :] > ii[:, None]
+        bi, bj = np.nonzero(m)
+        out_i.append(ii[bi])
+        out_j.append(bj)
+    return (
+        np.concatenate(out_i) if out_i else np.empty(0, np.int64),
+        np.concatenate(out_j) if out_j else np.empty(0, np.int64),
+    )
+
+
+def _pair_tests(X1, Y1, X2, Y2, Xo1, Yo1, Xo2, Yo2, feat, ring, I, J):
+    """Exact improper-meeting tests + reported point for candidate pairs
+    (I, J). Shared tail of segment_intersections / _grouped — semantics
+    documented there.
+
+    Laid out hot-path-first: every DECISION runs on the translated int64
+    arrays; the float64 reporting coordinates are gathered ONLY for the
+    pairs that actually hit (on dense fixtures > 99.9% of bbox candidates
+    are clean ring adjacencies, and materializing eight full-length float
+    copies for them dominated the kernel — measured 7.6 s of astype on a
+    21M-candidate batch for 0 hits). Formulas and evaluation order are
+    unchanged, so reported points stay bit-identical."""
     p1x, p1y, p2x, p2y = X1[I], Y1[I], X2[I], Y2[I]
     q1x, q1y, q2x, q2y = X1[J], Y1[J], X2[J], Y2[J]
 
@@ -131,35 +290,34 @@ def segment_intersections(
     d4r = (q2x - q1x) * (p2y - q1y) - (q2y - q1y) * (p2x - q1x)  # p2 vs q
     d1, d2, d3, d4 = _sign(d1r), _sign(d2r), _sign(d3r), _sign(d4r)
 
-    shared_11 = (p1x == q1x) & (p1y == q1y)
-    shared_12 = (p1x == q2x) & (p1y == q2y)
-    shared_21 = (p2x == q1x) & (p2y == q1y)
-    shared_22 = (p2x == q2x) & (p2y == q2y)
-    identical = (shared_11 & shared_22) | (shared_12 & shared_21)
-
     px = np.zeros(len(I), np.float64)
     py = np.zeros(len(I), np.float64)
     hit = np.zeros(len(I), np.bool_)
 
-    # original (untranslated) endpoint coords for reporting — exact float64
-    oq1x, oq1y = Xo1[J].astype(np.float64), Yo1[J].astype(np.float64)
-    oq2x, oq2y = Xo2[J].astype(np.float64), Yo2[J].astype(np.float64)
-    op1x, op1y = Xo1[I].astype(np.float64), Yo1[I].astype(np.float64)
-    op2x, op2y = Xo2[I].astype(np.float64), Yo2[I].astype(np.float64)
+    def _f(a):
+        return a.astype(np.float64)
 
     # 1. proper crossing: strict sign opposition both ways
-    proper = (d1 * d2 < 0) & (d3 * d4 < 0)
-    if proper.any():
-        w = np.nonzero(proper)[0]
-        t = d1r[w].astype(np.float64) / (d1r[w] - d2r[w]).astype(np.float64)
-        px[w] = oq1x[w] + t * (oq2x[w] - oq1x[w])
-        py[w] = oq1y[w] + t * (oq2y[w] - oq1y[w])
-        hit |= proper
+    w = np.nonzero((d1 * d2 < 0) & (d3 * d4 < 0))[0]
+    if len(w):
+        t = _f(d1r[w]) / _f(d1r[w] - d2r[w])
+        Jw = J[w]
+        oq1x, oq1y = _f(Xo1[Jw]), _f(Yo1[Jw])
+        px[w] = oq1x + t * (_f(Xo2[Jw]) - oq1x)
+        py[w] = oq1y + t * (_f(Yo2[Jw]) - oq1y)
+        hit[w] = True
 
     # 2. collinear overlap of positive length (not the identical segment)
-    collinear = (d1 == 0) & (d2 == 0) & ~identical
-    if collinear.any():
-        w = np.nonzero(collinear)[0]
+    w = np.nonzero((d1 == 0) & (d2 == 0))[0]
+    if len(w):
+        identical = (
+            ((p1x[w] == q1x[w]) & (p1y[w] == q1y[w])
+             & (p2x[w] == q2x[w]) & (p2y[w] == q2y[w]))
+            | ((p1x[w] == q2x[w]) & (p1y[w] == q2y[w])
+               & (p2x[w] == q1x[w]) & (p2y[w] == q1y[w]))
+        )
+        w = w[~identical]
+    if len(w):
         dx = p2x[w] - p1x[w]
         dy = p2y[w] - p1y[w]
         use_x = np.abs(dx) >= np.abs(dy)
@@ -177,8 +335,10 @@ def segment_intersections(
             pa_f = pa[ov].astype(np.float64)
             pb_f = pb[ov].astype(np.float64)
             t = (mid2 / 2.0 - pa_f) / (pb_f - pa_f)
-            px[w] = op1x[w] + t * (op2x[w] - op1x[w])
-            py[w] = op1y[w] + t * (op2y[w] - op1y[w])
+            Iw = I[w]
+            op1x, op1y = _f(Xo1[Iw]), _f(Yo1[Iw])
+            px[w] = op1x + t * (_f(Xo2[Iw]) - op1x)
+            py[w] = op1y + t * (_f(Yo2[Iw]) - op1y)
             hit[w] = True
 
     # 3. T-junction: an endpoint strictly inside the other edge
@@ -190,20 +350,24 @@ def segment_intersections(
         )
 
     noncol = ~((d1 == 0) & (d2 == 0))
-    for dsig, ex, ey, oex, oey, on_p in (
-        (d1, q1x, q1y, oq1x, oq1y, True),   # q1 on p
-        (d2, q2x, q2y, oq2x, oq2y, True),   # q2 on p
-        (d3, p1x, p1y, op1x, op1y, False),  # p1 on q
-        (d4, p2x, p2y, op2x, op2y, False),  # p2 on q
+    for dsig, ex, ey, second_endpoint, on_p in (
+        (d1, q1x, q1y, False, True),   # q1 on p — report q1
+        (d2, q2x, q2y, True, True),    # q2 on p — report q2
+        (d3, p1x, p1y, False, False),  # p1 on q — report p1
+        (d4, p2x, p2y, True, False),   # p2 on q — report p2
     ):
+        wc = np.nonzero(noncol & (dsig == 0) & ~hit)[0]
+        if len(wc) == 0:
+            continue
         if on_p:
-            tj = noncol & (dsig == 0) & _between(p1x, p1y, p2x, p2y, ex, ey) & ~hit
+            bet = _between(p1x[wc], p1y[wc], p2x[wc], p2y[wc], ex[wc], ey[wc])
         else:
-            tj = noncol & (dsig == 0) & _between(q1x, q1y, q2x, q2y, ex, ey) & ~hit
-        if tj.any():
-            w = np.nonzero(tj)[0]
-            px[w] = oex[w]
-            py[w] = oey[w]
+            bet = _between(q1x[wc], q1y[wc], q2x[wc], q2y[wc], ex[wc], ey[wc])
+        w = wc[bet]
+        if len(w):
+            src = J[w] if on_p else I[w]
+            ox_arr, oy_arr = (Xo2, Yo2) if second_endpoint else (Xo1, Yo1)
+            px[w], py[w] = _f(ox_arr[src]), _f(oy_arr[src])
             hit[w] = True
 
     keep = np.nonzero(hit)[0]

@@ -291,9 +291,251 @@ def explode_cover(
     )
 
 
+def intersection_errors_sql(
+    edges: DataFrame, cell_size: float = 2.0, themes: list[str] | None = None
+) -> DataFrame:
+    """R9 edge-intersection errors as ONE pure-JVM Catalyst plan — zero
+    Python anywhere. Kept as the CROSS-VALIDATION twin of the default
+    Arrow-kernel intersection_errors (tests pin the two bit-equal), and
+    as the fallback for a deploy whose Python lane is constrained.
+
+    Why it is NOT the default: Catalyst evaluates the exact sign tests
+    per candidate pair with no common-subexpression reuse — inlined into
+    the join condition they run interpreted (29 s on the 300×300 mosaic);
+    even restructured behind the pushdown barrier below, Project-pushdown
+    re-inlines the staged aliases and the post-join Filter still costs
+    ~10 s vs ~1.1 s for the grouped numpy kernel on the same input. The
+    batch-vectorized kernel evaluates each subexpression once per ARRAY,
+    not once per row×reference — a 10× gap no join hint closed
+    (broadcast 1.9 s vs shuffle_hash 1.2 s for the bare pair join; the
+    filter dominates either way).
+
+      snap → int64 coords (rint, the R4 grid) → cell-range cover via two
+      sequence()+explode —► shuffle-free map side
+      self-equi-join on (cx, cy) with bbox-overlap + obj_ref< +
+      owner-corner residuals —► the ONE exchange, keyed exactly like the
+      kernel's repartition
+      exact int64 sign tests (cross products < 2^45, no overflow) +
+      DISTINCT —► tiny error relation
+
+    Every decision replicates functions.geom bit-for-bit: same rint snap,
+    same floor(int/SCALE/cell) cover, same sign tests on int64 differences
+    (translation-free: only same-cell differences are multiplied), same
+    reported-point formulas evaluated in IEEE double with the same op
+    order. Pair orientation (p, q) is obj_ref order — deterministic,
+    unlike the kernel's shuffle-arrival order; both are exact on the
+    snap grid (tests/test_topology.py pins arrow≡sql equality).
+
+    Skew note: a pathological cell with k edges probes k² pairs; AQE skew
+    splitting handles moderate cases and cell_size is the tunable, same
+    as the kernel path's _BIG_CELL block loop.
+    """
+    S = F.lit(X.SCALE)
+    cs = F.lit(float(cell_size))
+
+    def snap(c):
+        return F.call_function("rint", F.col(c) * S).cast("long")
+
+    base = edges.select(
+        "theme",
+        "obj_ref",
+        snap("x1").alias("xi1"),
+        snap("y1").alias("yi1"),
+        snap("x2").alias("xi2"),
+        snap("y2").alias("yi2"),
+    )
+    if themes:
+        enc = F.create_map(
+            *[c for i, t in enumerate(sorted(themes)) for c in (F.lit(t), F.lit(i))]
+        )
+        base = base.withColumn("theme", F.element_at(enc, F.col("theme")))
+
+    def cell_of(v):  # same float path as the kernel: int → /SCALE → /cell → floor
+        return F.floor((v.cast("double") / S) / cs).cast("long")
+
+    bb = base.select(
+        "*",
+        F.least("xi1", "xi2").alias("bxmin"),
+        F.greatest("xi1", "xi2").alias("bxmax"),
+        F.least("yi1", "yi2").alias("bymin"),
+        F.greatest("yi1", "yi2").alias("bymax"),
+    )
+    ex = (
+        bb.withColumn(
+            "cx", F.explode(F.sequence(cell_of(F.col("bxmin")), cell_of(F.col("bxmax"))))
+        )
+        .withColumn(
+            "cy", F.explode(F.sequence(cell_of(F.col("bymin")), cell_of(F.col("bymax"))))
+        )
+    )
+
+    a, b = ex.alias("a"), ex.alias("b")
+    A, B = (lambda c: F.col(f"a.{c}")), (lambda c: F.col(f"b.{c}"))
+
+    def cheap_own():
+        # owner-corner residual: report only in the cell of the bbox-
+        # intersection min corner (selected ints, no float arithmetic
+        # before the shared floor(int/SCALE/cell) path — partition-
+        # invariance guard). Cheap (4 floors), so it lives IN the join
+        # condition and prunes duplicate-cell pairs before the exact tests.
+        return (
+            (cell_of(F.greatest(A("bxmin"), B("bxmin"))) == A("cx"))
+            & (cell_of(F.greatest(A("bymin"), B("bymin"))) == A("cy"))
+        )
+
+    pairs = a.join(
+        b,
+        on=(
+            (A("cx") == B("cx")) & (A("cy") == B("cy"))
+            & (A("obj_ref") < B("obj_ref"))
+            & (A("bxmin") <= B("bxmax")) & (A("bxmax") >= B("bxmin"))
+            & (A("bymin") <= B("bymax")) & (A("bymax") >= B("bymin"))
+            & cheap_own()
+        ),
+    )
+
+    # p = a, q = b — functions.geom._pair_tests in Catalyst expressions.
+    # The pair is flattened and every shared subexpression (the four cross
+    # products, the axis-projected collinear interval) is computed ONCE as
+    # a NAMED column: CollapseProject refuses to inline a non-cheap alias
+    # referenced more than once, so each survives as a single evaluation
+    # in one codegen'd Project instead of being re-derived per reference
+    # (the inlined form re-evaluates d1r ~30× per candidate pair).
+    c = F.col
+    flat = pairs.select(
+        A("cx").alias("cx"), A("cy").alias("cy"), A("theme").alias("theme"),
+        A("obj_ref").alias("ref_a"), B("obj_ref").alias("ref_b"),
+        A("xi1").alias("ax1"), A("yi1").alias("ay1"),
+        A("xi2").alias("ax2"), A("yi2").alias("ay2"),
+        B("xi1").alias("bx1"), B("yi1").alias("by1"),
+        B("xi2").alias("bx2"), B("yi2").alias("by2"),
+    )
+    dxp, dyp = c("ax2") - c("ax1"), c("ay2") - c("ay1")
+    dxq, dyq = c("bx2") - c("bx1"), c("by2") - c("by1")
+    use_x = F.abs(dxp) >= F.abs(dyp)
+    staged = flat.select(
+        "*",
+        (dxp * (c("by1") - c("ay1")) - dyp * (c("bx1") - c("ax1"))).alias("d1r"),
+        (dxp * (c("by2") - c("ay1")) - dyp * (c("bx2") - c("ax1"))).alias("d2r"),
+        (dxq * (c("ay1") - c("by1")) - dyq * (c("ax1") - c("bx1"))).alias("d3r"),
+        (dxq * (c("ay2") - c("by1")) - dyq * (c("ax2") - c("bx1"))).alias("d4r"),
+        F.when(use_x, c("ax1")).otherwise(c("ay1")).alias("pa"),
+        F.when(use_x, c("ax2")).otherwise(c("ay2")).alias("pb"),
+        F.when(use_x, c("bx1")).otherwise(c("by1")).alias("qa"),
+        F.when(use_x, c("bx2")).otherwise(c("by2")).alias("qb"),
+    )
+    staged = staged.select(
+        "*",
+        F.greatest(F.least(c("pa"), c("pb")), F.least(c("qa"), c("qb"))).alias("lo"),
+        F.least(F.greatest(c("pa"), c("pb")), F.greatest(c("qa"), c("qb"))).alias("hi"),
+    )
+    d1r, d2r, d3r, d4r = c("d1r"), c("d2r"), c("d3r"), c("d4r")
+    pa, pb, lo, hi = c("pa"), c("pb"), c("lo"), c("hi")
+
+    def opp(u, v):  # sign(u) * sign(v) < 0 without forming the product
+        return ((u > 0) & (v < 0)) | ((u < 0) & (v > 0))
+
+    proper = opp(d1r, d2r) & opp(d3r, d4r)
+    identical = (
+        ((c("ax1") == c("bx1")) & (c("ay1") == c("by1"))
+         & (c("ax2") == c("bx2")) & (c("ay2") == c("by2")))
+        | ((c("ax1") == c("bx2")) & (c("ay1") == c("by2"))
+           & (c("ax2") == c("bx1")) & (c("ay2") == c("by1")))
+    )
+    col0 = (d1r == 0) & (d2r == 0)
+    coll_ov = col0 & ~identical & (hi > lo)
+
+    def between(ax, ay, bx, by, cx_, cy_):
+        return (
+            (F.least(ax, bx) <= cx_) & (cx_ <= F.greatest(ax, bx))
+            & (F.least(ay, by) <= cy_) & (cy_ <= F.greatest(ay, by))
+            & ~((cx_ == ax) & (cy_ == ay)) & ~((cx_ == bx) & (cy_ == by))
+        )
+
+    noncol = ~col0
+    t1 = noncol & (d1r == 0) & between(
+        c("ax1"), c("ay1"), c("ax2"), c("ay2"), c("bx1"), c("by1"))
+    t2 = noncol & (d2r == 0) & between(
+        c("ax1"), c("ay1"), c("ax2"), c("ay2"), c("bx2"), c("by2"))
+    t3 = noncol & (d3r == 0) & between(
+        c("bx1"), c("by1"), c("bx2"), c("by2"), c("ax1"), c("ay1"))
+    t4 = noncol & (d4r == 0) & between(
+        c("bx1"), c("by1"), c("bx2"), c("by2"), c("ax2"), c("ay2"))
+    hit = proper | coll_ov | t1 | t2 | t3 | t4
+
+    # pushdown barrier: OR-taint the exact-test predicate with an always-
+    # false nondeterministic term so Catalyst can neither fold it back
+    # INTO the join condition (where it is evaluated interpreted, per
+    # candidate pair: measured 29 s vs 1.2 s Arrow on the 300×300 mosaic)
+    # nor push it below the staged Projects that hold the named
+    # subexpressions. Spark 4.1 pushes EVERY deterministic conjunct into
+    # an inner join's condition regardless of position (and folds
+    # `rand(7) > -1` away entirely), so the taint must live inside the
+    # single conjunct.
+    barrier = F.monotonically_increasing_id() < F.lit(0)
+    kept = staged.where(hit | barrier)
+
+    # reporting point — evaluated only on surviving pairs (a handful)
+    dbl = lambda v: v.cast("double")  # noqa: E731 — exact for |v| < 2^53
+    tprop = dbl(d1r) / dbl(d1r - d2r)
+    px_prop = dbl(c("bx1")) + tprop * (dbl(c("bx2")) - dbl(c("bx1")))
+    py_prop = dbl(c("by1")) + tprop * (dbl(c("by2")) - dbl(c("by1")))
+    tcol = (dbl(lo + hi) / F.lit(2.0) - dbl(pa)) / (dbl(pb) - dbl(pa))
+    px_col = dbl(c("ax1")) + tcol * (dbl(c("ax2")) - dbl(c("ax1")))
+    py_col = dbl(c("ay1")) + tcol * (dbl(c("ay2")) - dbl(c("ay1")))
+    px = (
+        F.when(proper, px_prop).when(coll_ov, px_col)
+        .when(t1, dbl(c("bx1"))).when(t2, dbl(c("bx2")))
+        .when(t3, dbl(c("ax1"))).otherwise(dbl(c("ax2")))
+    ) / S
+    py = (
+        F.when(proper, py_prop).when(coll_ov, py_col)
+        .when(t1, dbl(c("by1"))).when(t2, dbl(c("by2")))
+        .when(t3, dbl(c("ay1"))).otherwise(dbl(c("ay2")))
+    ) / S
+
+    feat_a = F.shiftright(c("ref_a"), 30)
+    feat_b = F.shiftright(c("ref_b"), 30)
+    ring_a = F.shiftright(c("ref_a"), 20).bitwiseAND(F.lit(0x3FF))
+    ring_b = F.shiftright(c("ref_b"), 20).bitwiseAND(F.lit(0x3FF))
+    same_ring = (feat_a == feat_b) & (ring_a == ring_b)
+
+    out = (
+        kept.select(
+            "cx",
+            "cy",
+            "theme",
+            F.when(same_ring, F.lit(codes.RING_SELF_INTERSECTION))
+            .otherwise(F.lit(codes.EDGE_INTERSECTION))
+            .alias("error_code"),
+            px.alias("x"),
+            py.alias("y"),
+            F.least(feat_a, feat_b).alias("feature_a"),
+            F.greatest(feat_a, feat_b).alias("feature_b"),
+        )
+        .distinct()  # duplicate directed edges recur inside one owner cell
+        .drop("cx", "cy")
+    )
+    if themes:
+        dec = F.create_map(
+            *[c for i, t in enumerate(sorted(themes)) for c in (F.lit(i), F.lit(t))]
+        )
+        out = out.withColumn("theme", F.element_at(dec, F.col("theme")))
+    return out.select("theme", "error_code", "x", "y", "feature_a", "feature_b")
+
+
 def intersection_errors(
     edges: DataFrame, cell_size: float = 2.0, themes: list[str] | None = None
 ) -> DataFrame:
+    """R9 edge-intersection errors: batch-grouped numpy kernel behind one
+    cell-keyed exchange — the default path (~10× the pure-Catalyst twin
+    intersection_errors_sql, whose docstring carries the measurements;
+    tests pin the two bit-equal).
+
+    Reference parity: TopoX detects improper edge meetings during its
+    single-threaded TopologyBuilder insert walk (SURVEY.md §2.A R9,
+    [ref-pub MED] TopologyBuilder.java); here the same exact-grid tests
+    run per cell, all cells of a partition in one vectorized call."""
     exploded = explode_cover(edges, cell_size, themes)
     decode = np.array(sorted(themes), object) if themes else None
 
@@ -305,47 +547,16 @@ def intersection_errors(
         )}
     )
 
-    def cell_kernel(cell, x1, y1, x2, y2, fi, ri, theme) -> pd.DataFrame | None:
-        I, J, px, py, same_ring = geom.segment_intersections(x1, y1, x2, y2, fi, ri)
-        if len(I) == 0:
-            return None
-        # pair-canonical ownership: the pair is reported only by the cell of
-        # the min corner of the two edges' bbox intersection. Corner coords
-        # are SELECTED from exact endpoint values (no float arithmetic), so
-        # every cell's kernel instance — and only one — claims the pair:
-        # partition-invariance (SURVEY.md §7 risk #2 guard).
-        bxmin = np.minimum(x1, x2)
-        bymin = np.minimum(y1, y2)
-        own = (
-            C.planar_owner_corner(bxmin[I], bymin[I], bxmin[J], bymin[J], cell_size)
-            == cell
-        )
-        I, J, px, py, same_ring = I[own], J[own], px[own], py[own], same_ring[own]
-        if len(I) == 0:
-            return None
-        fa = np.minimum(fi[I], fi[J])
-        fb = np.maximum(fi[I], fi[J])
-        code = np.where(same_ring, codes.RING_SELF_INTERSECTION, codes.EDGE_INTERSECTION)
-        out = pd.DataFrame(
-            {
-                "theme": theme[I],
-                "error_code": code,
-                "x": px, "y": py,
-                "feature_a": fa, "feature_b": fb,
-            }
-        )
-        # a pair can recur inside one cell via duplicate directed edges
-        return out.drop_duplicates()
-
-    # hash-partition on cell, then run ALL of a partition's cells in one
-    # Python call: groupBy().applyInPandas pays ~1 ms of Arrow/invocation
-    # overhead PER GROUP (measured 2.8 s for 2500 trivial groups vs 0.95 s
-    # for the repartition+mapInPandas form on this box) — at millions of
-    # cells that's the dominant cost. The exchange still guarantees cell
-    # locality; the kernel re-groups locally with one sort and slices
-    # NUMPY VIEWS per cell (a pandas .iloc per cell costs ~0.3 ms — at
-    # thousands of cells per partition that is per-group overhead again,
-    # just one layer down).
+    # hash-partition on cell, then run ALL of a partition's cells in ONE
+    # vectorized kernel call: groupBy().applyInPandas pays ~1 ms of
+    # Arrow/invocation overhead PER GROUP, and even a python loop of
+    # per-cell numpy slices pays ~2 ms of small-array call overhead per
+    # cell (measured 14 s single-proc on the 800×800 scaling mosaic, vs
+    # < 2 s of actual element work) — at millions of cells that per-group
+    # overhead IS the stage. segment_intersections_grouped generates every
+    # cell's candidate pairs in one sort + searchsorted sweep, so the
+    # partition cost is a handful of large-array numpy passes regardless
+    # of how many cells it holds.
     def part_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         chunks = [b for b in batches if len(b)]
         if not chunks:
@@ -356,25 +567,51 @@ def intersection_errors(
         # bounded by the shuffle-partition size we sized upstream)
         pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
         cells = pdf["cell"].to_numpy()
-        order = np.argsort(cells, kind="stable")
-        cells = cells[order]
         # rehydrate endpoint doubles / ids from the packed forms (exact:
         # the packs ARE the engine's coordinate + ref identity, R4/R5)
-        x1, y1 = X.unpack_point(pdf["p1"].to_numpy()[order])
-        x2, y2 = X.unpack_point(pdf["p2"].to_numpy()[order])
-        fi, ri, _ = X.unpack_obj_ref(pdf["obj_ref"].to_numpy()[order])
-        theme = pdf["theme"].to_numpy()[order]
+        x1, y1 = X.unpack_point(pdf["p1"].to_numpy())
+        x2, y2 = X.unpack_point(pdf["p2"].to_numpy())
+        fi, ri, _ = X.unpack_obj_ref(pdf["obj_ref"].to_numpy())
+        theme = pdf["theme"].to_numpy()
         if decode is not None:  # tid → theme string (no strings crossed the wire)
             theme = decode[theme]
-        uniq, starts = np.unique(cells, return_index=True)
-        bounds = np.append(starts, len(cells))
-        for g, cell in enumerate(uniq):
-            sl = slice(bounds[g], bounds[g + 1])
-            out = cell_kernel(
-                int(cell), x1[sl], y1[sl], x2[sl], y2[sl], fi[sl], ri[sl], theme[sl]
-            )
-            if out is not None and len(out):
-                yield out
+        I, J, px, py, same_ring, cellv = geom.segment_intersections_grouped(
+            x1, y1, x2, y2, fi, ri, cells
+        )
+        if len(I) == 0:
+            yield empty
+            return
+        # pair-canonical ownership: the pair is reported only by the cell of
+        # the min corner of the two edges' bbox intersection. Corner coords
+        # are SELECTED from exact endpoint values (no float arithmetic), so
+        # every cell's kernel instance — and only one — claims the pair:
+        # partition-invariance (SURVEY.md §7 risk #2 guard).
+        bxmin = np.minimum(x1, x2)
+        bymin = np.minimum(y1, y2)
+        own = (
+            C.planar_owner_corner(bxmin[I], bymin[I], bxmin[J], bymin[J], cell_size)
+            == cellv
+        )
+        I, J, px, py, same_ring, cellv = (
+            I[own], J[own], px[own], py[own], same_ring[own], cellv[own]
+        )
+        if len(I) == 0:
+            yield empty
+            return
+        fa = np.minimum(fi[I], fi[J])
+        fb = np.maximum(fi[I], fi[J])
+        code = np.where(same_ring, codes.RING_SELF_INTERSECTION, codes.EDGE_INTERSECTION)
+        out = pd.DataFrame(
+            {
+                "cell": cellv,  # keeps the dedup per-cell, as the cell loop had it
+                "theme": theme[I],
+                "error_code": code,
+                "x": px, "y": py,
+                "feature_a": fa, "feature_b": fb,
+            }
+        )
+        # a pair can recur inside one cell via duplicate directed edges
+        yield out.drop_duplicates().drop(columns=["cell"])
 
     n_parts = exploded.sparkSession.conf.get("spark.sql.shuffle.partitions")
     return exploded.repartition(int(n_parts), "cell").mapInPandas(

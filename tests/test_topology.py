@@ -253,3 +253,44 @@ def test_face_cycles_distributed_matches_local(spark):
     a = loc[cols].sort_values(cols).reset_index(drop=True)
     b = dist[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+@pytest.mark.parametrize("defect", ["self_intersect", "overlap_partial", "dup_boundary"])
+def test_intersection_sql_twin_bit_equal(spark, defect):
+    """The pure-Catalyst intersection path must reproduce the grouped
+    Arrow kernel bit-for-bit: same pairs, same error codes, same IEEE
+    reported coordinates. Cross-engine validation of the exact-grid sign
+    tests (the two implementations share no code below the cell cover)."""
+    from etf_topox_spark.operators.topology import (
+        intersection_errors,
+        intersection_errors_sql,
+    )
+
+    rings = surface_mosaic(spark, defect=defect, **GRID)
+    edges = rings_to_edges(rings)
+    key = ["theme", "error_code", "x", "y", "feature_a", "feature_b"]
+    for themes in (None, ["theme0"]):
+        arrow = intersection_errors(edges, themes=themes).toPandas()
+        sql = intersection_errors_sql(edges, themes=themes).toPandas()
+        a = arrow[key].sort_values(key).reset_index(drop=True)
+        b = sql[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
+
+
+def test_intersection_sql_twin_cell_sizes(spark):
+    """sql ≡ arrow must hold across cell resolutions (different cover
+    fan-outs, different owner cells — same reported error set)."""
+    from etf_topox_spark.operators.topology import (
+        intersection_errors,
+        intersection_errors_sql,
+    )
+
+    rings = surface_mosaic(spark, defect="self_intersect", **GRID)
+    edges = rings_to_edges(rings)
+    key = ["theme", "error_code", "x", "y", "feature_a", "feature_b"]
+    for cell in (0.5, 2.0, 10.0):
+        arrow = intersection_errors(edges, cell).toPandas()
+        sql = intersection_errors_sql(edges, cell).toPandas()
+        a = arrow[key].sort_values(key).reset_index(drop=True)
+        b = sql[key].sort_values(key).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)

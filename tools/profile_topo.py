@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 CPUS = sys.argv[1] if len(sys.argv) > 1 else "8"
 ROWS = int(os.environ.get("PROF_ROWS", "800"))
 COLS = int(os.environ.get("PROF_COLS", "800"))
-CELL = 10.0
+CELL = float(os.environ.get("PROF_CELL", "2.0"))
 
 
 def main():
