@@ -599,3 +599,47 @@ def topology_gml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("theme", "error_code")
     )
+
+
+# --- R9 twin: the zero-Python Catalyst intersection path -----------------
+# intersection_errors_sql is the engine's cross-engine validation twin of
+# the grouped Arrow kernel (operators/topology.py — same snap grid, cell
+# cover, owner-corner dedup, int64 sign tests); pytest pins arrow ≡ sql
+# bit-equal per defect/cell-size. This entry exposes the Catalyst path to
+# the DRIVER's DuckDB comparison too, over the overlap_partial mosaic
+# (8 proper crossings from the stray square at (1.5, 1.5), the richest
+# intersection set of the fixture family). Oracle = the cross-pair
+# derivation shared with _OVERLAP_PARTIAL_SQL, intersection family only.
+_INTERSECT_CATALYST_SQL = f"""
+WITH feat AS (
+  {_GRID_FEAT}
+  UNION ALL SELECT {_ROWS * _COLS}, 1.5, 1.5
+),
+edges AS ({_SQUARE_EDGES}),
+ids AS (SELECT ROW_NUMBER() OVER (ORDER BY fid, x1, y1, x2, y2) AS id,
+        0 AS ring_idx, * FROM edges),
+{_CROSS_PAIRS}
+SELECT 'theme0' AS theme,
+       CASE WHEN fa = fb THEN 'RING_SELF_INTERSECTION'
+            ELSE 'EDGE_INTERSECTION' END AS error_code,
+       COUNT(*) AS n, MIN(px) AS min_x, MIN(py) AS min_y
+FROM cross_pairs GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("topology_intersections_catalyst", oracle=_INTERSECT_CATALYST_SQL)
+def topology_intersections_catalyst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etf_topox_spark.operators.topology import intersection_errors_sql
+
+    rings = surface_mosaic(spark, rows=_ROWS, cols=_COLS, defect="overlap_partial")
+    edges = rings_to_edges(rings).filter(F.col("h1") != F.col("h2"))
+    return (
+        intersection_errors_sql(edges, themes=["theme0"])
+        .groupBy("theme", "error_code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("min_x"),
+            F.min("y").alias("min_y"),
+        )
+        .orderBy("theme", "error_code")
+    )
