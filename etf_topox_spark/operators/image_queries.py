@@ -941,3 +941,182 @@ def image_box_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(kernel, out_schema)
         .orderBy("box_id")
     )
+
+
+# --- detection precision/recall via one-to-one IoU matching -------------------
+
+# Evaluation threshold (PASCAL-style 0.5), exact rational compare so both
+# engines agree bit-for-bit: match iff inter/union >= 1/2.
+MATCH_IOU_NUM, MATCH_IOU_DEN = 1, 2
+
+# Ground-truth boxes derived deterministically from `orders` (o_orderkey is
+# unique, so gt_id needs no bit packing): same 256x256 canvas and 16..64
+# side range as the detection family, different placement constants so
+# overlap with detections is incidental — exactly what a matcher must sort
+# out.
+_GT_BOXES_SQL = f"""
+  SELECT o_orderkey AS gt_id,
+         o_orderkey % {NMS_IMAGES} AS image_id,
+         (o_custkey * 17) % 192 AS x0,
+         (o_custkey * 23) % 192 AS y0,
+         (o_custkey * 17) % 192 + 16 + o_orderkey % 49 AS x1,
+         (o_custkey * 23) % 192 + 16 + o_orderkey % 49 AS y1
+  FROM orders
+"""
+
+_MATCH_PR_SQL = f"""
+WITH pred AS ({_NMS_BOXES_SQL}),
+gt AS ({_GT_BOXES_SQL}),
+qual AS (
+  SELECT p.box_id, p.image_id, p.score, g.gt_id,
+         GREATEST(0, LEAST(p.x1, g.x1) - GREATEST(p.x0, g.x0))
+           * GREATEST(0, LEAST(p.y1, g.y1) - GREATEST(p.y0, g.y0)) AS inter,
+         (p.x1 - p.x0) * (p.y1 - p.y0) + (g.x1 - g.x0) * (g.y1 - g.y0) AS s_area
+  FROM pred p JOIN gt g ON p.image_id = g.image_id
+  WHERE GREATEST(0, LEAST(p.x1, g.x1) - GREATEST(p.x0, g.x0))
+          * GREATEST(0, LEAST(p.y1, g.y1) - GREATEST(p.y0, g.y0))
+          * {MATCH_IOU_DEN}
+        >= ((p.x1 - p.x0) * (p.y1 - p.y0) + (g.x1 - g.x0) * (g.y1 - g.y0)
+            - GREATEST(0, LEAST(p.x1, g.x1) - GREATEST(p.x0, g.x0))
+              * GREATEST(0, LEAST(p.y1, g.y1) - GREATEST(p.y0, g.y0)))
+           * {MATCH_IOU_NUM}
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT box_id, image_id, score, gt_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY box_id
+             ORDER BY CAST(inter AS DOUBLE) / (s_area - inter) DESC, gt_id
+           ) AS rk
+    FROM qual
+  ) WHERE rk = 1
+),
+tp_rows AS (
+  SELECT * FROM (
+    SELECT image_id, gt_id, box_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY gt_id ORDER BY score DESC, box_id
+           ) AS rk2
+    FROM assigned
+  ) WHERE rk2 = 1
+),
+np_ AS (SELECT image_id, COUNT(*) AS n_pred FROM pred GROUP BY 1),
+ng_ AS (SELECT image_id, COUNT(*) AS n_gt FROM gt GROUP BY 1),
+nt_ AS (SELECT image_id, COUNT(*) AS tp FROM tp_rows GROUP BY 1),
+univ AS (SELECT image_id FROM np_ UNION SELECT image_id FROM ng_)
+SELECT u.image_id,
+       COALESCE(np_.n_pred, 0) AS n_pred,
+       COALESCE(ng_.n_gt, 0) AS n_gt,
+       COALESCE(nt_.tp, 0) AS tp,
+       COALESCE(np_.n_pred, 0) - COALESCE(nt_.tp, 0) AS fp,
+       COALESCE(ng_.n_gt, 0) - COALESCE(nt_.tp, 0) AS fn,
+       CAST(COALESCE(nt_.tp, 0) AS DOUBLE)
+         / NULLIF(COALESCE(np_.n_pred, 0), 0) AS precision,
+       CAST(COALESCE(nt_.tp, 0) AS DOUBLE)
+         / NULLIF(COALESCE(ng_.n_gt, 0), 0) AS recall
+FROM univ u
+LEFT JOIN np_ USING (image_id)
+LEFT JOIN ng_ USING (image_id)
+LEFT JOIN nt_ USING (image_id)
+ORDER BY u.image_id
+"""
+
+
+def gt_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic ground-truth table (engine twin of _GT_BOXES_SQL)."""
+    o = TT(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("gt_id"),
+        (F.col("o_orderkey") % NMS_IMAGES).alias("image_id"),
+        ((F.col("o_custkey") * 17) % 192).alias("x0"),
+        ((F.col("o_custkey") * 23) % 192).alias("y0"),
+        ((F.col("o_custkey") * 17) % 192 + 16 + F.col("o_orderkey") % 49).alias("x1"),
+        ((F.col("o_custkey") * 23) % 192 + 16 + F.col("o_orderkey") % 49).alias("y1"),
+    )
+
+
+@query("image_box_match_pr", oracle=_MATCH_PR_SQL)
+def image_box_match_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection-quality scoring: one-to-one IoU matching of predicted
+    boxes to ground truth, per-image TP/FP/FN + precision/recall — the
+    metric pass a curation pipeline runs after NMS to gate a detector's
+    crops before training. The matching rule is fully relational (no
+    sequential greedy walk): every prediction is assigned to its max-IoU
+    qualifying gt (IoU >= 1/2 by exact integer cross-multiplication; the
+    argmax tiebreak is min gt_id), then each gt keeps its top-scoring
+    assigned prediction — a valid one-to-one matching computed by two
+    windowed argmaxes. IoU ordering inside the window divides two exact
+    small ints in IEEE double, identical in Spark and DuckDB.
+
+    Scale shape: ONE image-keyed equi join with per-image box counts
+    bounded by the detector top-k (pairs bounded per image, no global
+    stage); the two windows partition on box_id / gt_id — maximal-
+    cardinality keys, so no skew; final per-image rollup is partial-
+    aggregable. Hot image keys would reuse pip_join's recon salting.
+    """
+    from pyspark.sql import Window
+
+    pred = nms_boxes(spark, sf_dir)
+    gt = gt_boxes(spark, sf_dir)
+    p = pred.select(
+        "box_id", "image_id", "score",
+        F.col("x0").alias("px0"), F.col("y0").alias("py0"),
+        F.col("x1").alias("px1"), F.col("y1").alias("py1"),
+    )
+    g = gt.select(
+        "gt_id", F.col("image_id").alias("g_image_id"),
+        F.col("x0").alias("gx0"), F.col("y0").alias("gy0"),
+        F.col("x1").alias("gx1"), F.col("y1").alias("gy1"),
+    )
+    inter = F.greatest(
+        F.lit(0), F.least("px1", "gx1") - F.greatest("px0", "gx0")
+    ) * F.greatest(F.lit(0), F.least("py1", "gy1") - F.greatest("py0", "gy0"))
+    s_area = (F.col("px1") - F.col("px0")) * (F.col("py1") - F.col("py0")) + (
+        F.col("gx1") - F.col("gx0")
+    ) * (F.col("gy1") - F.col("gy0"))
+    qual = (
+        p.join(g, F.col("image_id") == F.col("g_image_id"))
+        .where(inter * MATCH_IOU_DEN >= (s_area - inter) * MATCH_IOU_NUM)
+        .select(
+            "box_id", "image_id", "score", "gt_id",
+            inter.alias("inter"), s_area.alias("s_area"),
+        )
+    )
+    w_pred = Window.partitionBy("box_id").orderBy(
+        (F.col("inter").cast("double") / (F.col("s_area") - F.col("inter"))).desc(),
+        "gt_id",
+    )
+    assigned = (
+        qual.withColumn("rk", F.row_number().over(w_pred)).where(F.col("rk") == 1)
+    )
+    w_gt = Window.partitionBy("gt_id").orderBy(F.col("score").desc(), "box_id")
+    tp_rows = (
+        assigned.withColumn("rk2", F.row_number().over(w_gt)).where(F.col("rk2") == 1)
+    )
+    np_ = pred.groupBy("image_id").agg(F.count(F.lit(1)).alias("n_pred"))
+    ng_ = gt.groupBy("image_id").agg(F.count(F.lit(1)).alias("n_gt"))
+    nt_ = tp_rows.groupBy("image_id").agg(F.count(F.lit(1)).alias("tp"))
+    univ = np_.select("image_id").union(ng_.select("image_id")).distinct()
+    z = F.lit(0)
+    out = (
+        univ.join(np_, "image_id", "left")
+        .join(ng_, "image_id", "left")
+        .join(nt_, "image_id", "left")
+        .select(
+            "image_id",
+            F.coalesce("n_pred", z).alias("n_pred"),
+            F.coalesce("n_gt", z).alias("n_gt"),
+            F.coalesce("tp", z).alias("tp"),
+            (F.coalesce("n_pred", z) - F.coalesce("tp", z)).alias("fp"),
+            (F.coalesce("n_gt", z) - F.coalesce("tp", z)).alias("fn"),
+            (
+                F.coalesce("tp", z).cast("double")
+                / F.nullif(F.coalesce("n_pred", z), z)
+            ).alias("precision"),
+            (
+                F.coalesce("tp", z).cast("double")
+                / F.nullif(F.coalesce("n_gt", z), z)
+            ).alias("recall"),
+        )
+    )
+    return out.orderBy("image_id")
