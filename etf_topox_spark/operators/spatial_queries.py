@@ -957,3 +957,101 @@ def spatial_distance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id", d2.alias("dist2"))
         .orderBy("a_id", "b_id")
     )
+
+
+# --- discrete Hausdorff distance between point-set pairs ----------------------
+
+# Point sets derived deterministically from lineitem on a 256² integer
+# lattice (DISTINCT per group, so both engines see the same multiplicity-
+# free sets); each group is paired with its cyclic successor. All-integer
+# squared distances — MIN/MAX on int64, zero float anywhere, so the oracle
+# match is exact by construction.
+_HAUS_GROUPS = 256
+
+_HAUS_PTS_SQL = f"""
+  SELECT DISTINCT l_orderkey % {_HAUS_GROUPS} AS g,
+         (l_partkey * 13) % 256 AS x,
+         (l_suppkey * 29) % 256 AS y
+  FROM lineitem
+"""
+
+_HAUSDORFF_SQL = f"""
+WITH pts AS ({_HAUS_PTS_SQL}),
+pair_min AS (
+  SELECT a.g AS ga, a.x, a.y,
+         MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dmin2
+  FROM pts a JOIN pts b ON b.g = (a.g + 1) % {_HAUS_GROUPS}
+  GROUP BY 1, 2, 3
+),
+dir_ab AS (SELECT ga, MAX(dmin2) AS h2_ab FROM pair_min GROUP BY 1),
+pair_min_r AS (
+  SELECT b.g AS gb, b.x, b.y,
+         MIN((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS dmin2
+  FROM pts a JOIN pts b ON b.g = (a.g + 1) % {_HAUS_GROUPS}
+  GROUP BY 1, 2, 3
+),
+dir_ba AS (SELECT (gb + {_HAUS_GROUPS} - 1) % {_HAUS_GROUPS} AS ga,
+           MAX(dmin2) AS h2_ba FROM pair_min_r GROUP BY 1)
+SELECT a.ga AS group_a, (a.ga + 1) % {_HAUS_GROUPS} AS group_b,
+       a.h2_ab, b.h2_ba,
+       GREATEST(a.h2_ab, b.h2_ba) AS hausdorff2
+FROM dir_ab a JOIN dir_ba b ON a.ga = b.ga
+ORDER BY group_a
+"""
+
+
+@query("geom_hausdorff_discrete", oracle=_HAUSDORFF_SQL)
+def geom_hausdorff_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (vertex-to-vertex) Hausdorff distance between paired point
+    sets — the shape-similarity gate a geometry-dedup or conflation
+    pipeline runs on polygon vertex clouds: h(A,B) = max over a of min
+    over b of |a-b|, symmetrized by the max of both directions. Squared
+    integer distances end to end (the lattice is 256², dmin2 < 2^18), so
+    engine and oracle agree bit-for-bit with no sqrt anywhere.
+
+    Scale shape: ONE equi-join on the group key (each point set meets only
+    its partner — never a cross join over sets), per-point MIN then
+    per-group MAX, both partial-aggregable map-side. Pairs per group are
+    bounded by set size²; sets past ~10⁴ points would reuse the radius-
+    join cell blocking to prune the inner MIN to neighboring cells (the
+    exact-certified pattern in operators/spatial.py)."""
+    from etf_topox_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (F.col("l_orderkey") % _HAUS_GROUPS).alias("g"),
+        ((F.col("l_partkey") * 13) % 256).alias("x"),
+        ((F.col("l_suppkey") * 29) % 256).alias("y"),
+    ).distinct()
+    a = pts.select(F.col("g").alias("ga"), F.col("x").alias("ax"), F.col("y").alias("ay"))
+    b = pts.select(F.col("g").alias("gb"), F.col("x").alias("bx"), F.col("y").alias("by"))
+    joined = a.join(b, (F.col("ga") + 1) % _HAUS_GROUPS == F.col("gb"))
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    h_ab = (
+        joined.groupBy("ga", "ax", "ay")
+        .agg(F.min(d2).alias("dmin2"))
+        .groupBy("ga")
+        .agg(F.max("dmin2").alias("h2_ab"))
+    )
+    h_ba = (
+        joined.groupBy("gb", "bx", "by")
+        .agg(F.min(d2).alias("dmin2"))
+        .select(
+            ((F.col("gb") + _HAUS_GROUPS - 1) % _HAUS_GROUPS).alias("ga"), "dmin2"
+        )
+        .groupBy("ga")
+        .agg(F.max("dmin2").alias("h2_ba"))
+    )
+    return (
+        h_ab.join(h_ba, "ga")
+        .select(
+            F.col("ga").alias("group_a"),
+            ((F.col("ga") + 1) % _HAUS_GROUPS).alias("group_b"),
+            "h2_ab",
+            "h2_ba",
+            F.greatest("h2_ab", "h2_ba").alias("hausdorff2"),
+        )
+        .orderBy("group_a")
+    )

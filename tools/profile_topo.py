@@ -57,7 +57,9 @@ def main():
     edges = rings_to_edges(rings, CELL).localCheckpoint(eager=False)
     bench("a_edges_materialize", lambda: edges.count())
     ok = edges.filter(F.col("h1") != F.col("h2"))
-    stats = undirected_edge_stats(ok, themes=["theme0"]).localCheckpoint(eager=False)
+    stats = undirected_edge_stats(
+        ok, themes=["theme0"], with_holes=True
+    ).localCheckpoint(eager=False)
     bench("b_stats_shuffle", lambda: stats.count())
     bench("c_boundary", lambda: boundary_errors(stats).count())
     bench("d_intersection", lambda: intersection_errors(ok, CELL, themes=["theme0"]).count())
