@@ -1055,3 +1055,156 @@ def geom_hausdorff_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_a")
     )
+
+
+# --- Douglas-Peucker ring simplification (tol > 0) -----------------------------
+
+_DP_GRID = 8
+_DP_SUB = 4          # densify each edge into quarters...
+_DP_TOL = 0.2        # ...then simplify at this tolerance
+_DP_BUMP_ODD = 0.375   # mid-edge bump height, odd features: ABOVE tol → kept
+_DP_BUMP_EVEN = 0.0625  # even features: below tol → dropped
+
+import numpy as _np  # noqa: E402  (kernel-side; keeps the module header Spark-only)
+
+
+def dp_keep_mask(x: "_np.ndarray", y: "_np.ndarray", tol: float) -> "_np.ndarray":
+    """Ramer-Douglas-Peucker keep mask for ONE polyline (closed rings pass
+    their duplicated closing vertex; the degenerate anchor chord then
+    measures distance-to-point, so no special casing). Iterative stack,
+    vectorized distance pass per chord; argmax ties resolve to the lowest
+    index (np.argmax), and a vertex is kept iff its distance STRICTLY
+    exceeds tol. Coordinates in the fixtures are exact binary fractions,
+    so cross products and squared distances are exact doubles and the
+    keep decisions are reproducible bit-for-bit."""
+    n = len(x)
+    keep = _np.zeros(n, _np.bool_)
+    keep[0] = keep[n - 1] = True
+    if n < 3:
+        return keep
+    tol2 = float(tol) * float(tol)
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        px, py = x[i + 1 : j] - x[i], y[i + 1 : j] - y[i]
+        dx, dy = x[j] - x[i], y[j] - y[i]
+        L2 = dx * dx + dy * dy
+        if L2 == 0.0:
+            d2 = px * px + py * py
+        else:
+            cr = dx * py - dy * px
+            d2 = (cr * cr) / L2
+        k = int(_np.argmax(d2))
+        if d2[k] > tol2:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep
+
+
+def dp_simplify_rings(rings: DataFrame, tol: float) -> DataFrame:
+    """Douglas-Peucker over a rings frame (one array-typed ring per row) —
+    the tol>0 companion of simplify_collinear_points, fulfilling its
+    docstring's promise: the same per-ring shape, with the recursive
+    chord-splitting stack in an Arrow kernel instead of a lag/lead window
+    (DP's data-dependent splits are not expressible as a fixed-depth
+    window). Map-only: each ring lives wholly in its row, so there is NO
+    shuffle at all; 10^9 rings scan-bound exactly like the collinear pass.
+    Ring length is bounded (vertex caps in any sane vector schema), so the
+    per-ring python loop inside the kernel is bounded work per row."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            fids, seqs, xs_o, ys_o = [], [], [], []
+            for fid, xs, ys in zip(pdf["feature_id"], pdf["xs"], pdf["ys"]):
+                x = _np.asarray(xs, _np.float64)
+                y = _np.asarray(ys, _np.float64)
+                m = dp_keep_mask(x, y, tol)
+                k = int(m.sum())
+                fids.append(_np.full(k, fid, _np.int64))
+                seqs.append(_np.arange(k, dtype=_np.int32))
+                xs_o.append(x[m])
+                ys_o.append(y[m])
+            if not fids:
+                continue
+            yield pd.DataFrame(
+                {
+                    "feature_id": _np.concatenate(fids),
+                    "seq": _np.concatenate(seqs),
+                    "x": _np.concatenate(xs_o),
+                    "y": _np.concatenate(ys_o),
+                }
+            )
+
+    return rings.mapInPandas(
+        kernel, "feature_id long, seq int, x double, y double"
+    )
+
+
+def dp_fixture_rings(spark: SparkSession) -> DataFrame:
+    """Densified-and-bumped mosaic rings: each unit-square edge becomes
+    quarter points with the midpoint displaced perpendicular-outward by a
+    per-feature bump height (odd feature_id: {_DP_BUMP_ODD} > tol, must
+    survive; even: {_DP_BUMP_EVEN} < tol, must vanish along with the exact
+    collinear quarter points). All coordinates are exact binary
+    fractions."""
+    import pandas as pd
+
+    rings = surface_mosaic(
+        spark, rows=_DP_GRID, cols=_DP_GRID, defect="valid_mosaic"
+    ).filter(F.col("is_exterior"))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out_f, out_x, out_y = [], [], []
+            for fid, xs, ys in zip(pdf["feature_id"], pdf["xs"], pdf["ys"]):
+                x = _np.asarray(xs, _np.float64)
+                y = _np.asarray(ys, _np.float64)
+                h = _DP_BUMP_ODD if fid % 2 else _DP_BUMP_EVEN
+                nx, ny = [], []
+                for e in range(len(x) - 1):
+                    dx, dy = x[e + 1] - x[e], y[e + 1] - y[e]
+                    for j in range(_DP_SUB):
+                        t = j / _DP_SUB
+                        px, py = x[e] + dx * t, y[e] + dy * t
+                        if j == _DP_SUB // 2:  # midpoint → perpendicular bump
+                            px += h * dy
+                            py -= h * dx
+                        nx.append(px)
+                        ny.append(py)
+                nx.append(x[-1])
+                ny.append(y[-1])
+                out_f.append(fid)
+                out_x.append(_np.array(nx))
+                out_y.append(_np.array(ny))
+            yield pd.DataFrame(
+                {"feature_id": out_f, "xs": out_x, "ys": out_y}
+            )
+
+    return rings.mapInPandas(
+        kernel, "feature_id long, xs array<double>, ys array<double>"
+    )
+
+
+@query("geom_simplify_dp")
+def geom_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker at tol={_DP_TOL} over the bumped fixture — the lossy
+    polyline compaction every tile/export pipeline runs above the lossless
+    collinear pass. Driver check is rows-only (DP's recursion is not
+    SQL-expressible); the exact checks live in tests/: an independent
+    recursive reference implementation must agree vertex-for-vertex, the
+    closed-form kept sets are pinned (even features: 4 corners + closing;
+    odd: anchor + 4 bumps + closing — the tall bumps' chords eat the other
+    corners, a classic DP artifact the test documents), and every dropped
+    vertex is within tol of a kept segment on randomized polylines."""
+    return dp_simplify_rings(dp_fixture_rings(spark), _DP_TOL).orderBy(
+        "feature_id", "seq"
+    )
