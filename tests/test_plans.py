@@ -295,3 +295,24 @@ def test_zscore_moments_broadcast_back(spark):
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_box_match_pr_no_single_partition_window(spark):
+    """The PR-matching argmax windows partition on box_id / gt_id — a
+    no-partitionBy window (Exchange SinglePartition) would serialize all
+    detections through one task. The image join must be a real equi-join
+    (hash-partitioned or broadcast), never a cartesian product."""
+    plan = _plan(QUERIES["image_box_match_pr"](spark, SF))
+    assert "SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hausdorff_partial_aggregation(spark):
+    """Both MIN and MAX reductions must partial-aggregate map-side (two
+    HashAggregate levels around each exchange) and the pair join must be
+    an equi-join on the group key."""
+    plan = _plan(QUERIES["geom_hausdorff_discrete"](spark, SF))
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
