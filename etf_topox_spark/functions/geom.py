@@ -192,6 +192,14 @@ def segment_intersections_grouped(
     sizes_all = np.diff(np.r_[starts_all, n])
     bxmin_s, bxmax_s = bxmin[order], bxmax[order]
     bymin_s, bymax_s = bymin[order], bymax[order]
+    # sorted-space endpoint copies: the candidate kills gather per-pair
+    # coordinates, and candidate indices in SORTED space are near-
+    # sequential (same cell ⇒ adjacent rows) while order[]-mapped indices
+    # scatter across the partition — running the kills sorted-side and
+    # mapping only the survivors through order[] cuts the random-gather
+    # traffic by the kill ratio (~4× on mesh fixtures).
+    X1_s, Y1_s = X1[order], Y1[order]
+    X2_s, Y2_s = X2[order], Y2[order]
 
     cand_i: list[np.ndarray] = []
     cand_j: list[np.ndarray] = []
@@ -206,12 +214,13 @@ def segment_intersections_grouped(
                     bxmin_s[st : st + s], bxmax_s[st : st + s],
                     bymin_s[st : st + s], bymax_s[st : st + s],
                 )
-                io, jo = order[ii + st], order[jj + st]
+                ci, cj = ii + st, jj + st
                 keep = _not_point_touch(
-                    X1, Y1, X2, Y2, bxmin, bxmax, bymin, bymax, io, jo
+                    X1_s, Y1_s, X2_s, Y2_s,
+                    bxmin_s, bxmax_s, bymin_s, bymax_s, ci, cj,
                 )
-                cand_i.append(io[keep])
-                cand_j.append(jo[keep])
+                cand_i.append(ci[keep])
+                cand_j.append(cj[keep])
             continue
         tri = np.arange(s)[:, None] < np.arange(s)[None, :]  # j > i, (s, s)
         g_chunk = max(1, (32 << 20) // int(s * s))
@@ -228,34 +237,39 @@ def segment_intersections_grouped(
                 & tri[None, :, :]
             )
             gi, ii, jj = np.nonzero(m)
-            io, jo = order[cs[gi] + ii], order[cs[gi] + jj]
+            ci, cj = cs[gi] + ii, cs[gi] + jj
             keep = _not_point_touch(
-                X1, Y1, X2, Y2, bxmin, bxmax, bymin, bymax, io, jo
+                X1_s, Y1_s, X2_s, Y2_s,
+                bxmin_s, bxmax_s, bymin_s, bymax_s, ci, cj,
             )
-            cand_i.append(io[keep])
-            cand_j.append(jo[keep])
+            cand_i.append(ci[keep])
+            cand_j.append(cj[keep])
     if not cand_i:
         return empty6
-    I = np.concatenate(cand_i)  # already mapped to input-array indices
-    J = np.concatenate(cand_j)
-    if len(I) == 0:
+    I_s = np.concatenate(cand_i)
+    J_s = np.concatenate(cand_j)
+    if len(I_s) == 0:
         return empty6
     # hoist the identical-segment kill ahead of the exact tests: duplicate
     # directed boundary edges (every shared mosaic edge contributes one
     # such pair per owner cell) survive the bbox prefilters with a FULL-box
     # intersection, but are R8's job, never an intersection error — the
     # collinear branch of _pair_tests would reject them anyway, after
-    # paying four cross products each. 8 equality gathers here empty the
-    # candidate set down to genuine near-misses and hits.
+    # paying four cross products each. 8 equality gathers (sorted-space,
+    # near-sequential) empty the candidate set down to genuine near-misses
+    # and hits; only the survivors pay the order[] scatter-map.
     ident = (
-        ((X1[I] == X1[J]) & (Y1[I] == Y1[J]) & (X2[I] == X2[J]) & (Y2[I] == Y2[J]))
-        | ((X1[I] == X2[J]) & (Y1[I] == Y2[J]) & (X2[I] == X1[J]) & (Y2[I] == Y1[J]))
+        ((X1_s[I_s] == X1_s[J_s]) & (Y1_s[I_s] == Y1_s[J_s])
+         & (X2_s[I_s] == X2_s[J_s]) & (Y2_s[I_s] == Y2_s[J_s]))
+        | ((X1_s[I_s] == X2_s[J_s]) & (Y1_s[I_s] == Y2_s[J_s])
+           & (X2_s[I_s] == X1_s[J_s]) & (Y2_s[I_s] == Y1_s[J_s]))
     )
     if ident.any():
         keep = ~ident
-        I, J = I[keep], J[keep]
-    if len(I) == 0:
+        I_s, J_s = I_s[keep], J_s[keep]
+    if len(I_s) == 0:
         return empty6
+    I, J = order[I_s], order[J_s]
     # chunk the exact tests so per-candidate intermediates stay cache-sized
     # (tens of millions of candidates × ~20 live arrays would stream GBs
     # through DRAM); chunk boundaries don't change any per-pair value.
