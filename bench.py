@@ -34,8 +34,11 @@ PROFILES = {
     # rows, cols, pip points, knn probes, knn corpus, images
     # scaling sizes are chosen so per-query parallel compute dominates the
     # serial constants (driver collects, broadcast builds, job scheduling)
-    # — at 5k knn probes the job only measured its own fixed costs
-    "scaling": (800, 800, 12_000_000, 100_000, 200_000, 12_000),  # 640k surfaces → 2.56M edges
+    # — at 5k knn probes the job only measured its own fixed costs, and
+    # after the round-3 kernel speedups the 800×800 topology job fell to
+    # ~10 s at local[8], a third of it fixed stage latency again; 1600×1600
+    # (10.24M edges) restores compute dominance at every level
+    "scaling": (1600, 1600, 12_000_000, 100_000, 200_000, 12_000),  # 2.56M surfaces → 10.24M edges
     "round": (250, 250, 500_000, 1_000, 100_000, 1_500),          # 62.5k surfaces → 250k edges
 }
 TOPO_ROWS, TOPO_COLS, PIP_POINTS, KNN_PROBES, KNN_CORPUS, N_IMAGES = PROFILES[PROFILE]
@@ -76,41 +79,11 @@ def run_suite(cpus: str) -> dict:
     spark.range(1).count()  # JVM warm
     # Python-worker warm: one representative Arrow-kernel run per core so
     # numpy/pandas imports AND the worker's allocator arena are primed
-    # before the clock starts (a long-running cluster's workers are warm —
-    # spark.python.worker.reuse keeps the pool alive across queries).
-    # The arena part matters on this sandbox host: first-touch page faults
-    # under the Firecracker hypervisor make a worker's FIRST large-array
-    # kernel call ~4-8× slower than every later one (measured 9.1 s vs
-    # 0.7 s on an identical 480k-row grouped-intersection call), a fixed
-    # per-worker cost that lands on whichever level has the fewest
-    # partitions per worker and reads as fake anti-scaling.
-    import pandas as _pd  # noqa: F401
+    # before the clock starts — rationale and measurements in
+    # etf_topox_spark/functions/warmup.py (shared with tools/profile_topo).
+    from etf_topox_spark.functions.warmup import warm_python_workers
 
-    def _warm(batches):
-        import numpy as _npw
-
-        from etf_topox_spark.functions import geom as _geom
-
-        rng = _npw.random.default_rng(0)
-        n = 200_000
-        cells = _npw.repeat(_npw.arange(n // 24 + 1, dtype=_npw.int64), 24)[:n]
-        cx = (cells % 400) * 2.0
-        cy = (cells // 400) * 2.0
-        ox = rng.integers(0, 2, n).astype(_npw.float64)
-        oy = rng.integers(0, 2, n).astype(_npw.float64)
-        horiz = rng.integers(0, 2, n).astype(bool)
-        x1, y1 = cx + ox, cy + oy
-        x2 = _npw.where(horiz, x1 + 1.0, x1)
-        y2 = _npw.where(horiz, y1, y1 + 1.0)
-        feat = rng.integers(0, 1 << 20, n)
-        ring = _npw.zeros(n, _npw.int64)
-        _geom.segment_intersections_grouped(x1, y1, x2, y2, feat, ring, cells)
-        for b in batches:
-            yield b
-
-    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
-        _warm, "id long"
-    ).count()
+    warm_python_workers(spark, int(cpus))
 
     timings: dict[str, float] = {}
     units: dict[str, int] = {}

@@ -1029,32 +1029,39 @@ def geom_hausdorff_discrete(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
         F.col("ay") - F.col("by")
     ) * (F.col("ay") - F.col("by"))
-    h_ab = (
-        joined.groupBy("ga", "ax", "ay")
-        .agg(F.min(d2).alias("dmin2"))
-        .groupBy("ga")
-        .agg(F.max("dmin2").alias("h2_ab"))
+    # both directions from ONE pass over the pair join: each pair row
+    # explodes into its a-side and b-side (side, point, d2) rows, so the
+    # expensive |A|x|B| join runs once instead of once per direction (two
+    # independent aggregations over an uncached subtree would re-execute
+    # it — Spark reuses exchanges, not join results).
+    pair = joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("ab").alias("side"), F.col("ga").alias("g"),
+                    F.col("ax").alias("px"), F.col("ay").alias("py"),
+                    d2.alias("d2"),
+                ),
+                F.struct(
+                    F.lit("ba").alias("side"), F.col("ga").alias("g"),
+                    F.col("bx").alias("px"), F.col("by").alias("py"),
+                    d2.alias("d2"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    dmin = pair.groupBy("side", "g", "px", "py").agg(F.min("d2").alias("dmin2"))
+    dirs = dmin.groupBy("g").agg(
+        F.max(F.when(F.col("side") == "ab", F.col("dmin2"))).alias("h2_ab"),
+        F.max(F.when(F.col("side") == "ba", F.col("dmin2"))).alias("h2_ba"),
     )
-    h_ba = (
-        joined.groupBy("gb", "bx", "by")
-        .agg(F.min(d2).alias("dmin2"))
-        .select(
-            ((F.col("gb") + _HAUS_GROUPS - 1) % _HAUS_GROUPS).alias("ga"), "dmin2"
-        )
-        .groupBy("ga")
-        .agg(F.max("dmin2").alias("h2_ba"))
-    )
-    return (
-        h_ab.join(h_ba, "ga")
-        .select(
-            F.col("ga").alias("group_a"),
-            ((F.col("ga") + 1) % _HAUS_GROUPS).alias("group_b"),
-            "h2_ab",
-            "h2_ba",
-            F.greatest("h2_ab", "h2_ba").alias("hausdorff2"),
-        )
-        .orderBy("group_a")
-    )
+    return dirs.select(
+        F.col("g").alias("group_a"),
+        ((F.col("g") + 1) % _HAUS_GROUPS).alias("group_b"),
+        "h2_ab",
+        "h2_ba",
+        F.greatest("h2_ab", "h2_ba").alias("hausdorff2"),
+    ).orderBy("group_a")
 
 
 # --- Douglas-Peucker ring simplification (tol > 0) -----------------------------
@@ -1079,6 +1086,8 @@ def dp_keep_mask(x: "_np.ndarray", y: "_np.ndarray", tol: float) -> "_np.ndarray
     keep decisions are reproducible bit-for-bit."""
     n = len(x)
     keep = _np.zeros(n, _np.bool_)
+    if n == 0:
+        return keep
     keep[0] = keep[n - 1] = True
     if n < 3:
         return keep
@@ -1148,7 +1157,7 @@ def dp_simplify_rings(rings: DataFrame, tol: float) -> DataFrame:
 
 
 def dp_fixture_rings(spark: SparkSession) -> DataFrame:
-    """Densified-and-bumped mosaic rings: each unit-square edge becomes
+    f"""Densified-and-bumped mosaic rings: each unit-square edge becomes
     quarter points with the midpoint displaced perpendicular-outward by a
     per-feature bump height (odd feature_id: {_DP_BUMP_ODD} > tol, must
     survive; even: {_DP_BUMP_EVEN} < tol, must vanish along with the exact
@@ -1196,7 +1205,7 @@ def dp_fixture_rings(spark: SparkSession) -> DataFrame:
 
 @query("geom_simplify_dp")
 def geom_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Douglas-Peucker at tol={_DP_TOL} over the bumped fixture — the lossy
+    f"""Douglas-Peucker at tol={_DP_TOL} over the bumped fixture — the lossy
     polyline compaction every tile/export pipeline runs above the lossless
     collinear pass. Driver check is rows-only (DP's recursion is not
     SQL-expressible); the exact checks live in tests/: an independent

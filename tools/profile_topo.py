@@ -37,33 +37,12 @@ def main():
     spark = get_spark(app_name=f"prof-{CPUS}", cores=CPUS,
                       shuffle_partitions=max(8, int(CPUS)))
     spark.range(1).count()
-    import pandas as _pd  # noqa: F401
 
     # same representative worker warm-up as bench.py (imports + allocator
-    # arena; see the Firecracker first-touch note there)
-    def _warm(batches):
-        import numpy as _npw
+    # arena; rationale in etf_topox_spark/functions/warmup.py)
+    from etf_topox_spark.functions.warmup import warm_python_workers
 
-        from etf_topox_spark.functions import geom as _geom
-
-        rng = _npw.random.default_rng(0)
-        n = 200_000
-        cells = _npw.repeat(_npw.arange(n // 24 + 1, dtype=_npw.int64), 24)[:n]
-        cx, cy = (cells % 400) * 2.0, (cells // 400) * 2.0
-        ox = rng.integers(0, 2, n).astype(_npw.float64)
-        oy = rng.integers(0, 2, n).astype(_npw.float64)
-        horiz = rng.integers(0, 2, n).astype(bool)
-        x1, y1 = cx + ox, cy + oy
-        x2 = _npw.where(horiz, x1 + 1.0, x1)
-        y2 = _npw.where(horiz, y1, y1 + 1.0)
-        _geom.segment_intersections_grouped(
-            x1, y1, x2, y2, rng.integers(0, 1 << 20, n),
-            _npw.zeros(n, _npw.int64), cells,
-        )
-        for b in batches:
-            yield b
-
-    spark.range(int(CPUS) * 4).repartition(int(CPUS)).mapInPandas(_warm, "id long").count()
+    warm_python_workers(spark, int(CPUS))
 
     t = {}
 
