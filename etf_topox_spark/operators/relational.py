@@ -925,3 +925,77 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_name").alias("nation"), F.col("r").alias("rank"))
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# BFS shortest hop distance (iterative frontier expansion)
+# --------------------------------------------------------------------------
+
+BFS_N = 20_000  # node universe; avg degree ~6 at sf0.01 → non-trivial frontier
+BFS_HOPS = 6    # fixed exploration depth (deterministic round count)
+
+_BFS_SQL = f"""
+WITH RECURSIVE edges0 AS (
+  SELECT DISTINCT l_orderkey % {BFS_N} AS u, l_partkey % {BFS_N} AS v
+  FROM lineitem
+),
+edges AS (
+  SELECT u AS src, v AS dst FROM edges0
+  UNION
+  SELECT v, u FROM edges0
+),
+walk(node, d) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS d
+  UNION
+  SELECT e.dst, w.d + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < {BFS_HOPS}
+)
+SELECT node, CAST(MIN(d) AS INT) AS hops
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+@query("graph_bfs_hops", oracle=_BFS_SQL)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest hop distance by distributed BFS — the
+    iterative-frontier companion of graph_pagerank (values) and the CC
+    labeler (labels): each round is ONE equi-join frontier⋈edges + a
+    distinct + an anti-join against the settled set, all keyed on the node
+    id. The edge table is cached once and every round reuses its
+    partitioning; the frontier and settled tables are the only growing
+    state, and each round localCheckpoints to keep the lineage flat
+    (Spark would otherwise re-execute all prior rounds per action — the
+    same flat-lineage discipline as connected_components). Fixed
+    {BFS_HOPS}-round depth keeps the job plan deterministic; rounds whose
+    frontier is already empty are no-ops.
+
+    Oracle: DuckDB recursive CTE with UNION (set) semantics — distinct
+    (node, depth) rows per level bound the recursion at N×{BFS_HOPS} rows,
+    and MIN(d) per node is the shortest-walk distance. hops ≤ {BFS_HOPS}
+    on both engines by construction."""
+    li = T(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_orderkey") % BFS_N).alias("u"),
+        (F.col("l_partkey") % BFS_N).alias("v"),
+    ).distinct()
+    edges = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(e0.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = spark.createDataFrame([(0, 0)], "node long, hops int")
+    frontier = dist.select("node")
+    for d in range(1, BFS_HOPS + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(d).cast("int").alias("hops"))
+            .localCheckpoint(eager=False)
+        )
+        dist = dist.unionByName(nxt)
+        frontier = nxt.select("node")
+    return dist.orderBy("node")
