@@ -71,3 +71,74 @@ def test_knn_topk_block_matches_brute_force(seed):
         order = sorted(range(m), key=lambda j: (d2[j], gid[j]))[:k]
         expect = [(r + 1, gid[j], d2[j]) for r, j in enumerate(order)]
         assert sorted(got[qid[i]]) == expect, i
+
+
+# --- candidate-prune differential: pruned funnel ≡ brute-force all-pairs -----
+
+def _brute_pairs(x1, y1, x2, y2, feat, ring):
+    """All-pairs _pair_tests with NO bbox mask and NO candidate kills —
+    the unpruned reference the production funnel must reproduce exactly."""
+    from etf_topox_spark.functions import geom
+    from etf_topox_spark.functions.coords import coord_to_int
+
+    Xo1, Yo1 = coord_to_int(x1), coord_to_int(y1)
+    Xo2, Yo2 = coord_to_int(x2), coord_to_int(y2)
+    n = len(Xo1)
+    ox = min(int(Xo1.min()), int(Xo2.min()))
+    oy = min(int(Yo1.min()), int(Yo2.min()))
+    X1, X2, Y1, Y2 = Xo1 - ox, Xo2 - ox, Yo1 - oy, Yo2 - oy
+    I, J = np.triu_indices(n, k=1)
+    return geom._pair_tests(
+        X1, Y1, X2, Y2, Xo1, Yo1, Xo2, Yo2, feat, ring,
+        I.astype(np.int64), J.astype(np.int64),
+    )
+
+
+def _as_set(res):
+    I, J, px, py, sr = res[:5]
+    return {
+        (int(min(i, j)), int(max(i, j)), float(x), float(y), bool(s))
+        for i, j, x, y, s in zip(I, J, px, py, sr)
+    }
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_candidate_kills_are_semantics_preserving(seed):
+    """The endpoint-touch and identical-segment candidate kills must not
+    change the reported pair set: randomized small-integer segment soups
+    dense in endpoint touches, collinear overlaps, exact duplicates,
+    T-junctions, and proper crossings (including degenerate axis-aligned
+    bboxes) — pruned per-cell AND grouped funnels vs unpruned all-pairs."""
+    from etf_topox_spark.functions import geom
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    # endpoints on a coarse lattice → many shared vertices and collinear
+    # overlaps; a third of the edges axis-aligned → degenerate bboxes
+    x1 = rng.integers(0, 6, n).astype(np.float64)
+    y1 = rng.integers(0, 6, n).astype(np.float64)
+    x2 = rng.integers(0, 6, n).astype(np.float64)
+    y2 = rng.integers(0, 6, n).astype(np.float64)
+    ax = rng.random(n) < 0.33
+    y2[ax] = y1[ax]  # horizontal
+    # drop zero-length segments (filtered upstream by h1 != h2)
+    keep = (x1 != x2) | (y1 != y2)
+    x1, y1, x2, y2 = x1[keep], y1[keep], x2[keep], y2[keep]
+    m = len(x1)
+    # duplicate a handful verbatim (identical-kill food)
+    dup = rng.integers(0, m, 6)
+    x1 = np.r_[x1, x1[dup]]; y1 = np.r_[y1, y1[dup]]
+    x2 = np.r_[x2, x2[dup]]; y2 = np.r_[y2, y2[dup]]
+    m = len(x1)
+    feat = rng.integers(0, 50, m)
+    ring = rng.integers(0, 3, m)
+
+    want = _as_set(_brute_pairs(x1, y1, x2, y2, feat, ring))
+    got_cell = _as_set(geom.segment_intersections(x1, y1, x2, y2, feat, ring))
+    assert got_cell == want
+    # grouped form: all rows in one cell reproduces the per-cell form
+    cells = np.zeros(m, np.int64)
+    got_grp = _as_set(
+        geom.segment_intersections_grouped(x1, y1, x2, y2, feat, ring, cells)
+    )
+    assert got_grp == want
