@@ -1132,3 +1132,71 @@ def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, "doc_id bigint, source string, n_tokens bigint, bin int")
         .orderBy("doc_id")
     )
+
+
+# --- PII redaction rewrite (the masking pass text_pii_stats scopes) -----------
+
+_RED_EMAIL, _RED_IPV4, _RED_DIGITS = "[EMAIL]", "[IPV4]", "[DIGITS]"
+
+_PII_REDACT_SQL = f"""
+WITH s0 AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+         regexp_replace(text, '{PII_EMAIL}', '{_RED_EMAIL}', 'g') AS t1
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{PII_IPV4}')) AS n_ipv4,
+         regexp_replace(t1, '{PII_IPV4}', '{_RED_IPV4}', 'g') AS t2
+  FROM s0
+),
+s2 AS (
+  SELECT doc_id, n_emails, n_ipv4,
+         len(regexp_extract_all(t2, '{PII_DIGIT_RUN}')) AS n_digit_runs,
+         regexp_replace(t2, '{PII_DIGIT_RUN}', '{_RED_DIGITS}', 'g') AS redacted
+  FROM s1
+)
+SELECT doc_id, redacted,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_ipv4 AS BIGINT) AS n_ipv4,
+       CAST(n_digit_runs AS BIGINT) AS n_digit_runs
+FROM s2 ORDER BY doc_id
+"""
+
+
+@query("text_pii_redact", oracle=_PII_REDACT_SQL)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The masking rewrite text_pii_stats scopes: staged regexp_replace
+    (emails → IPv4 → long digit runs, fixed order so later stages never
+    see digits the earlier ones already masked) with per-stage match
+    counts. Zero shuffles beyond the presentation sort — one codegen'd
+    Project of JVM regex ops per row, the same map-only shape at 10^12
+    documents. Patterns are greedy and alternation-free, so Java regex
+    (Spark) and RE2 (DuckDB) agree on match spans and the redacted TEXT
+    value-hashes identically, not just the counts."""
+    return pii_redact_frame(T(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def pii_redact_frame(d: DataFrame) -> DataFrame:
+    """The staged redaction over any (doc_id, text) frame — split out so
+    tests can feed planted-PII fixtures (the synthetic corpus is
+    PII-free, which proves only the no-op path)."""
+    s0 = d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_replace(F.col("text"), PII_EMAIL, _RED_EMAIL).alias("t1"),
+    )
+    s1 = s0.select(
+        "doc_id",
+        "n_emails",
+        F.regexp_count("t1", F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_replace(F.col("t1"), PII_IPV4, _RED_IPV4).alias("t2"),
+    )
+    return s1.select(
+        "doc_id",
+        F.regexp_replace(F.col("t2"), PII_DIGIT_RUN, _RED_DIGITS).alias("redacted"),
+        "n_emails",
+        "n_ipv4",
+        F.regexp_count("t2", F.lit(PII_DIGIT_RUN)).cast("long").alias("n_digit_runs"),
+    )

@@ -341,3 +341,47 @@ def test_rfm_quartiles_balanced(spark):
         # NTILE balance: bucket sizes differ by at most one
         assert sizes.max() - sizes.min() <= 1 and sizes.sum() == n
     assert (out["segment"] == out["r"] * 100 + out["f"] * 10 + out["m"]).all()
+
+
+def test_pii_redact_planted_patterns(spark):
+    """The staged rewrite on planted PII: emails, IPv4s, long digit runs,
+    a digit run INSIDE an email (must be eaten by the email stage, not
+    double-counted), and overlapping/adjacent cases — engine vs DuckDB
+    regexp_replace(…,'g') on the identical fixture, plus pinned values."""
+    import duckdb
+
+    from etf_topox_spark.operators.text import (
+        _PII_REDACT_SQL,
+        pii_redact_frame,
+    )
+
+    rows = [
+        (0, "contact bob1234@example.com or 10.0.0.1 now"),
+        (1, "card 123456789012 expires soon"),
+        (2, "no pii here at all"),
+        (3, "a@b.io x 1.2.3.4 y 99999"),
+        (4, "digits4567inside@mail.example.org trailing 0000"),
+        (5, "ip 255.255.255.255 and run 12345 and e f@g.hk"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pii_redact_frame(df).orderBy("doc_id").toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    want = con.execute(_PII_REDACT_SQL).df()
+    con.close()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True), check_dtype=False
+    )
+    by = {r.doc_id: r for r in got.itertuples()}
+    assert by[0].redacted == "contact [EMAIL] or [IPV4] now"
+    assert by[1].redacted == "card [DIGITS] expires soon"
+    assert by[2].redacted == "no pii here at all"
+    # the digit run inside the email must vanish WITH the email
+    assert by[4].redacted == "[EMAIL] trailing [DIGITS]"
+    assert (by[4].n_emails, by[4].n_ipv4, by[4].n_digit_runs) == (1, 0, 1)
+    assert by[5].n_ipv4 == 1 and by[5].n_digit_runs == 1 and by[5].n_emails == 1
