@@ -266,3 +266,82 @@ def agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("l_quantity").alias("mode_qty"))
     )
     return med.join(mode, "l_returnflag")
+
+
+# --- skyline (Pareto front) --------------------------------------------------
+
+_SKYLINE_SQL = """
+WITH p AS (SELECT p_partkey, p_retailprice, p_size FROM part)
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b
+  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size <= a.p_size
+    AND (b.p_retailprice < a.p_retailprice OR b.p_size < a.p_size)
+)
+ORDER BY a.p_partkey
+"""
+
+
+def _skyline_2d(pdf):
+    """Local 2-D skyline: sort by (price asc, size asc), keep a row iff its
+    size is strictly below every strictly-cheaper row's running-min size
+    AND below the min size of its own price tier's better rows — i.e. the
+    standard sorted-scan cummin filter. Ties on BOTH dims are kept
+    (neither dominates the other)."""
+    import numpy as np
+
+    price = pdf["p_retailprice"].to_numpy()
+    size = pdf["p_size"].to_numpy()
+    order = np.lexsort((size, price))
+    p_s, s_s = price[order], size[order]
+    # running min of size over STRICTLY cheaper rows: shift the cummin to
+    # the start of each price tier
+    cm = np.minimum.accumulate(s_s)
+    tier_start = np.r_[True, p_s[1:] != p_s[:-1]]
+    start_idx = np.maximum.accumulate(np.where(tier_start, np.arange(len(p_s)), 0))
+    prev_min = np.where(
+        start_idx > 0, cm[np.maximum(start_idx - 1, 0)], np.iinfo(np.int64).max
+    )
+    # survivors: the row must be its own price tier's min size (a same-
+    # price smaller size dominates, strict in size) AND strictly below
+    # every cheaper tier's min (a cheaper row with size <= s dominates,
+    # strict in price). Equal (price, size) duplicates all satisfy both.
+    tier_min = s_s[start_idx]
+    keep_sorted = (s_s == tier_min) & (s_s < prev_min)
+    keep = np.zeros(len(pdf), bool)
+    keep[order] = keep_sorted
+    return pdf[keep]
+
+
+@query("part_skyline", oracle=_SKYLINE_SQL)
+def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto front over (p_retailprice ↓-better, p_size
+    ↓-better): parts no other part dominates (≤ on both dims, < on at
+    least one; exact duplicates on both dims all survive — neither
+    dominates). The classic database operator, built on the same
+    partial-merge identity as the convex hull: skyline(S₁∪S₂) =
+    skyline(skyline(S₁) ∪ skyline(S₂)), so stage 1 collapses each
+    partition to its local front with one sorted cummin scan (Arrow
+    kernel, map-side), and stage 2 re-runs the same kernel on the tiny
+    union of fronts (expected O(log n) points for independent dims) in
+    one task — input-sized data never converges on a single node, only
+    fronts do. The naive NOT-EXISTS self-join the ORACLE runs is O(n²)
+    and exchange-heavy; the engine's form is one scan + one
+    front-sized exchange."""
+    cols = ["p_partkey", "p_retailprice", "p_size"]
+    p = T(spark, sf_dir, "part").select(*cols)
+    schema = "p_partkey long, p_retailprice double, p_size int"
+
+    def local_front(batches):
+        import pandas as pd
+
+        chunks = [b for b in batches if len(b)]
+        if chunks:
+            yield _skyline_2d(
+                pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            )
+
+    fronts = p.mapInPandas(local_front, schema)
+    merged = fronts.coalesce(1).mapInPandas(local_front, schema)
+    return merged.orderBy("p_partkey")

@@ -385,3 +385,43 @@ def test_pii_redact_planted_patterns(spark):
     assert by[4].redacted == "[EMAIL] trailing [DIGITS]"
     assert (by[4].n_emails, by[4].n_ipv4, by[4].n_digit_runs) == (1, 0, 1)
     assert by[5].n_ipv4 == 1 and by[5].n_digit_runs == 1 and by[5].n_emails == 1
+
+
+def test_skyline_kernel_matches_brute_force_and_merge_identity():
+    """200 randomized small-integer frames (dense in both-dim ties, which
+    is where skyline rules go wrong): the sorted-cummin kernel must equal
+    the O(n²) domination scan, and skyline(skyline(S₁) ∪ skyline(S₂))
+    must equal skyline(S₁∪S₂) — the identity the two-stage distributed
+    form relies on."""
+    import numpy as np
+
+    from etf_topox_spark.operators.windows_sets import _skyline_2d
+
+    rng = np.random.default_rng(1)
+    for t in range(200):
+        n = int(rng.integers(2, 80))
+        pdf = pd.DataFrame(
+            {
+                "p_partkey": np.arange(n),
+                "p_retailprice": rng.integers(0, 12, n).astype(float),
+                "p_size": rng.integers(0, 12, n),
+            }
+        )
+        got = set(_skyline_2d(pdf).p_partkey)
+        pr, sz = pdf.p_retailprice.to_numpy(), pdf.p_size.to_numpy()
+        dom = (
+            (pr[None, :] <= pr[:, None])
+            & (sz[None, :] <= sz[:, None])
+            & ((pr[None, :] < pr[:, None]) | (sz[None, :] < sz[:, None]))
+        )
+        want = set(np.nonzero(~dom.any(axis=1))[0])
+        assert got == want, t
+        # merge identity on a random split
+        cut = int(rng.integers(1, n))
+        merged = _skyline_2d(
+            pd.concat(
+                [_skyline_2d(pdf.iloc[:cut]), _skyline_2d(pdf.iloc[cut:])],
+                ignore_index=True,
+            )
+        )
+        assert set(merged.p_partkey) == want, t
