@@ -1217,3 +1217,102 @@ def geom_simplify_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dp_simplify_rings(dp_fixture_rings(spark), _DP_TOL).orderBy(
         "feature_id", "seq"
     )
+
+
+# --- point along perimeter (ST_LineInterpolatePoint analog) -------------------
+
+N_INTERP = 2000  # rects of family A; t = (i % 10) / 10 walks the ring
+
+_INTERP_SQL = f"""
+WITH r AS ({_rect_sql(N_INTERP, *_RA)}),
+segs AS (
+  SELECT i, s.seq,
+    CASE s.seq WHEN 0 THEN x0 WHEN 1 THEN x1 WHEN 2 THEN x1 ELSE x0 END AS ax,
+    CASE s.seq WHEN 0 THEN y0 WHEN 1 THEN y0 WHEN 2 THEN y1 ELSE y1 END AS ay,
+    CASE s.seq WHEN 0 THEN x1 WHEN 1 THEN x1 WHEN 2 THEN x0 ELSE x0 END AS bx,
+    CASE s.seq WHEN 0 THEN y0 WHEN 1 THEN y1 WHEN 2 THEN y1 ELSE y0 END AS by
+  FROM r, (SELECT unnest([0, 1, 2, 3]) AS seq) s
+),
+lens AS (
+  SELECT *,
+    sqrt(CAST((bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS DOUBLE)) AS seglen,
+    COALESCE(SUM(sqrt(CAST((bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS DOUBLE)))
+      OVER (PARTITION BY i ORDER BY seq
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum_before,
+    SUM(sqrt(CAST((bx - ax) * (bx - ax) + (by - ay) * (by - ay) AS DOUBLE)))
+      OVER (PARTITION BY i) AS total
+  FROM segs
+),
+tgt AS (
+  SELECT *, (CAST(i % 10 AS DOUBLE) / 10.0) * total AS target FROM lens
+)
+SELECT i AS rect_id, CAST(i % 10 AS DOUBLE) / 10.0 AS t,
+       ax + ((target - cum_before) / seglen) * (bx - ax) AS x,
+       ay + ((target - cum_before) / seglen) * (by - ay) AS y
+FROM tgt
+WHERE cum_before <= target AND target < cum_before + seglen
+ORDER BY rect_id
+"""
+
+
+@query("geom_line_interpolate", oracle=_INTERP_SQL)
+def geom_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST_LineInterpolatePoint analog: the point at perimeter fraction t
+    along each rectangle ring (t = (id % 10)/10 exercises every edge and
+    the t=0 vertex case). Pure windowed Catalyst: segment lengths, an
+    exclusive running sum, the ring total, then ONE filter picks the
+    containing segment (cum_before ≤ t·total < cum_before+len is true for
+    exactly one row; at an exact vertex hit the strict right bound hands
+    the point to the NEXT segment at frac 0). Windows partition on the
+    ring id — never global — so at 10^9 rings this is one exchange on the
+    ring key and whole-stage codegen throughout. Integer coordinates keep
+    sqrt/cumsum exact (axis-aligned integer lengths), so the oracle match
+    is bit-exact; the same plan serves float rings with ordinary IEEE
+    agreement."""
+    from pyspark.sql import Window
+
+    r = _rects(spark, N_INTERP, *_RA)
+    seg = r.select(
+        "i",
+        F.posexplode(
+            F.array(
+                F.struct(F.col("x0").alias("ax"), F.col("y0").alias("ay"),
+                         F.col("x1").alias("bx"), F.col("y0").alias("by")),
+                F.struct(F.col("x1").alias("ax"), F.col("y0").alias("ay"),
+                         F.col("x1").alias("bx"), F.col("y1").alias("by")),
+                F.struct(F.col("x1").alias("ax"), F.col("y1").alias("ay"),
+                         F.col("x0").alias("bx"), F.col("y1").alias("by")),
+                F.struct(F.col("x0").alias("ax"), F.col("y1").alias("ay"),
+                         F.col("x0").alias("bx"), F.col("y0").alias("by")),
+            )
+        ).alias("seq", "s"),
+    ).select("i", "seq", "s.ax", "s.ay", "s.bx", "s.by")
+    seglen = F.sqrt(
+        ((F.col("bx") - F.col("ax")) * (F.col("bx") - F.col("ax"))
+         + (F.col("by") - F.col("ay")) * (F.col("by") - F.col("ay"))).cast("double")
+    )
+    w = Window.partitionBy("i").orderBy("seq")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy("i")
+    lens = seg.select(
+        "*",
+        seglen.alias("seglen"),
+        F.coalesce(F.sum(seglen).over(wprev), F.lit(0.0)).alias("cum_before"),
+        F.sum(seglen).over(wall).alias("total"),
+    )
+    t = (F.col("i") % 10).cast("double") / F.lit(10.0)
+    tgt = lens.select("*", (t * F.col("total")).alias("target"))
+    frac = (F.col("target") - F.col("cum_before")) / F.col("seglen")
+    return (
+        tgt.where(
+            (F.col("cum_before") <= F.col("target"))
+            & (F.col("target") < F.col("cum_before") + F.col("seglen"))
+        )
+        .select(
+            F.col("i").alias("rect_id"),
+            t.alias("t"),
+            (F.col("ax") + frac * (F.col("bx") - F.col("ax"))).alias("x"),
+            (F.col("ay") + frac * (F.col("by") - F.col("ay"))).alias("y"),
+        )
+        .orderBy("rect_id")
+    )
