@@ -262,3 +262,59 @@ def event_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "week_idx")
     )
+
+
+# --- first-order Markov transition matrix over event sequences ----------------
+
+_MARKOV_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+),
+trans AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+tot AS (SELECT prev_type, SUM(n) AS row_n FROM trans GROUP BY 1)
+SELECT t.prev_type, t.next_type, t.n,
+       CAST(t.n AS DOUBLE) / tot.row_n AS p
+FROM trans t JOIN tot USING (prev_type)
+ORDER BY prev_type, next_type
+"""
+
+
+@query("events_markov_transitions", oracle=_MARKOV_SQL)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    — the behavioral-model fit every clickstream pipeline runs: LAG within
+    the (user_id) window pairs consecutive events ((ts, event_id) total
+    order makes ties deterministic), then one tiny (prev, next) count
+    matrix with row-normalized probabilities as a single exact int/int
+    division. Scale shape: the lag window shares the user_id exchange the
+    sessionize/funnel family already uses; the transition matrix is
+    #types² rows whatever the event volume, and its normalizer joins back
+    broadcast."""
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = trans.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (
+        trans.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            (F.col("n").cast("double") / F.col("row_n")).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
