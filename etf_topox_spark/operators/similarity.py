@@ -743,3 +743,124 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.floor(F.col("v") * 127 / F.col("maxabs")))
     )
     return x.join(F.broadcast(mx), "pos").select("vec_id", "pos", q.alias("q"))
+
+
+# --- top principal component by power iteration -------------------------------
+
+PCA_DIM = 64
+PCA_ITERS = 3
+_PCA_SCALE = 10**9  # |x·dot| ≲ 10, n = corpus size → int64 headroom ≥ 1e6 rows
+
+
+def _dot_chain_sql(vec: str, vlist: str) -> str:
+    """Explicit left-associated 64-term chain `v[1]*x[1] + … + v[64]*x[64]`
+    — SQL's + parses left-assoc, matching the engine's sequential fold, so
+    the accumulation ORDER (and therefore every IEEE intermediate) is
+    pinned across engines."""
+    return " + ".join(f"{vec}[{d}] * {vlist}[{d}]" for d in range(1, PCA_DIM + 1))
+
+
+def _norm_chain_sql(ul: str) -> str:
+    return " + ".join(f"{ul}[{d}] * {ul}[{d}]" for d in range(1, PCA_DIM + 1))
+
+
+def _pca_iter_sql(prev_v: str, out_v: str) -> str:
+    return f""",
+d_{out_v} AS (
+  SELECT e.x, {_dot_chain_sql('e.x', f'{prev_v}.vl')} AS dot
+  FROM e CROSS JOIN {prev_v}
+),
+u_{out_v} AS (
+  SELECT g.dim,
+         CAST(SUM(CAST(floor(x[g.dim] * dot * {_PCA_SCALE}) AS BIGINT))
+              AS DOUBLE) / {_PCA_SCALE} AS u
+  FROM d_{out_v}, (SELECT unnest(range(1, {PCA_DIM + 1})) AS dim) g
+  GROUP BY 1
+),
+ul_{out_v} AS (SELECT list(u ORDER BY dim) AS ul FROM u_{out_v}),
+{out_v} AS (
+  SELECT list_transform(ul, y -> y / sqrt({_norm_chain_sql('ul')})) AS vl
+  FROM ul_{out_v}
+)"""
+
+
+_PCA_SQL = (
+    f"""
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x FROM embeddings
+),
+v0 AS (SELECT [{', '.join(['0.125'] * PCA_DIM)}]::DOUBLE[] AS vl)"""
+    + "".join(_pca_iter_sql(f"v{i}", f"v{i + 1}") for i in range(PCA_ITERS))
+    + f"""
+SELECT g.dim, vl[g.dim] AS loading
+FROM v{PCA_ITERS}, (SELECT unnest(range(1, {PCA_DIM + 1})) AS dim) g
+ORDER BY g.dim
+"""
+)
+
+
+@query("embedding_pca_power", oracle=_PCA_SQL)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by {PCA_ITERS}
+    power iterations from the exact v₀ = 1/√{PCA_DIM} = 0.125 constant
+    vector (no centering — the Gram top eigenvector, as ANN preprocessing
+    uses it). Each iteration's heavy O(n·d) stage is fully distributed:
+    per-row dots are an explicit left-folded 64-term chain (accumulation
+    order pinned engine↔oracle), and uₖ = Σᵢ xᵢ(xᵢ·v) sums per dimension
+    with each term floor-scaled to int64 at 1e-9 — the PageRank pattern
+    that makes the reduction independent of partitioning AND bit-equal in
+    DuckDB. Only the O(d) normalize runs on the driver between iterations
+    (64 values — the standard power-iteration broadcast step; its folds
+    replay the oracle's explicit chains term for term), and v feeds back
+    as literals exactly like the IVF centroid pattern."""
+    e = T(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("x")
+    )
+    v = pca_power_vector(e, PCA_ITERS)
+    out = spark.createDataFrame(
+        [(d + 1, v[d]) for d in range(PCA_DIM)], "dim long, loading double"
+    )
+    return out.orderBy("dim")
+
+
+def pca_power_vector(e: DataFrame, iters: int) -> list[float]:
+    """The power-iteration core over a frame with one double-array column
+    `x` (length PCA_DIM) — split out so tests can feed a PLANTED
+    dominant-direction corpus. NOTE the operator contract is the
+    fixed-iteration ITERATE, not the converged eigenvector: on a
+    near-isotropic corpus (the synthetic embeddings have λ₂/λ₁ ≈ 0.984)
+    no reasonable iteration count converges, and the exactness claim is
+    about the iteration algebra; with a real spectral gap a handful of
+    iterations reach the top PC (pytest pins cos > 0.99 on a planted
+    gap)."""
+    import math
+
+    v = [0.125] * PCA_DIM
+    for _ in range(iters):
+        dot = None
+        for d in range(PCA_DIM):
+            term = F.element_at("x", d + 1) * F.lit(v[d])
+            dot = term if dot is None else dot + term
+        rows = e.select("x", dot.alias("dot"))
+        exploded = rows.select(F.posexplode("x").alias("dim0", "xd"), "dot")
+        u_rows = (
+            exploded.groupBy((F.col("dim0") + 1).alias("dim"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("xd") * F.col("dot") * F.lit(_PCA_SCALE)).cast(
+                        "long"
+                    )
+                ).alias("acc")
+            )
+            .collect()
+        )
+        u = [0.0] * PCA_DIM
+        for r in u_rows:
+            u[r["dim"] - 1] = r["acc"] / _PCA_SCALE
+        # norm: same left-folded chain as the oracle's generated SQL
+        acc = 0.0
+        for d in range(PCA_DIM):
+            acc = acc + u[d] * u[d]
+        nrm = math.sqrt(acc)
+        v = [ud / nrm for ud in u]
+    return v

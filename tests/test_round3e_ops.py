@@ -425,3 +425,26 @@ def test_skyline_kernel_matches_brute_force_and_merge_identity():
             )
         )
         assert set(merged.p_partkey) == want, t
+
+
+def test_pca_power_converges_on_planted_gap(spark):
+    """The power-iteration core must find a PLANTED dominant direction in
+    3 iterations (the synthetic corpus is near-isotropic — λ₂/λ₁ ≈ 0.98 —
+    so the driver query's value is pinned by the oracle, and THIS test is
+    the convergence check: with a real spectral gap, cos(v, w) > 0.99)."""
+    import numpy as np
+
+    from etf_topox_spark.operators.similarity import PCA_DIM, pca_power_vector
+
+    rng = np.random.default_rng(3)
+    w = rng.normal(0, 1, PCA_DIM)
+    w /= np.linalg.norm(w)
+    n = 300
+    A = rng.normal(0, 0.2, (n, PCA_DIM))           # isotropic floor
+    A += np.outer(rng.normal(0, 1, n) * 3.0, w)    # dominant planted axis
+    df = spark.createDataFrame(
+        [(row.tolist(),) for row in A], "x array<double>"
+    )
+    v = np.array(pca_power_vector(df, 3))
+    assert abs(float(v @ w)) > 0.99
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-12
