@@ -316,3 +316,22 @@ def test_hausdorff_partial_aggregation(spark):
     assert "partial_min" in plan and "partial_max" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["graph_bfs_hops", "events_markov_transitions", "geom_line_interpolate",
+     "part_skyline", "text_pii_redact", "embedding_pca_power"],
+)
+def test_round3f_ops_stay_clean(spark, qname):
+    """Round-3f additions: no cartesian products, no row-at-a-time Python,
+    and no accidental single-partition funnel beyond the presentation sort
+    (rangepartitioning for a final orderBy is fine; Exchange
+    SinglePartition anywhere else is not)."""
+    plan = _plan(QUERIES[qname](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    body = plan.split("== Physical Plan ==")[-1]
+    # skyline's stage-2 front merge legitimately coalesces to one task
+    if qname != "part_skyline":
+        assert "SinglePartition" not in body
