@@ -1316,3 +1316,95 @@ def geom_line_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rect_id")
     )
+
+
+# --- rectangle union area per group (coordinate compression) ------------------
+
+_UNION_GROUPS = 500  # 4000 family-A rects → 8 per group
+
+_UNION_AREA_SQL = f"""
+WITH r AS (
+  SELECT i % {_UNION_GROUPS} AS grp, x0, y0, x1, y1
+  FROM ({_rect_sql(N_RECT_A, *_RA)})
+),
+xc AS (SELECT DISTINCT grp, c AS xc FROM (
+  SELECT grp, unnest([x0, x1]) AS c FROM r)),
+yc AS (SELECT DISTINCT grp, c AS yc FROM (
+  SELECT grp, unnest([y0, y1]) AS c FROM r)),
+xseg AS (
+  SELECT grp, xc AS xa, LEAD(xc) OVER (PARTITION BY grp ORDER BY xc) AS xb
+  FROM xc
+),
+yseg AS (
+  SELECT grp, yc AS ya, LEAD(yc) OVER (PARTITION BY grp ORDER BY yc) AS yb
+  FROM yc
+),
+cells AS (
+  SELECT x.grp, x.xa, x.xb, y.ya, y.yb
+  FROM xseg x JOIN yseg y USING (grp)
+  WHERE x.xb IS NOT NULL AND y.yb IS NOT NULL
+),
+covered AS (
+  SELECT c.* FROM cells c
+  WHERE EXISTS (
+    SELECT 1 FROM r
+    WHERE r.grp = c.grp AND r.x0 <= c.xa AND r.x1 >= c.xb
+      AND r.y0 <= c.ya AND r.y1 >= c.yb)
+)
+SELECT grp, CAST(SUM((xb - xa) * (yb - ya)) AS BIGINT) AS union_area
+FROM covered GROUP BY grp ORDER BY grp
+"""
+
+
+@query("geom_rect_union_area", oracle=_UNION_AREA_SQL)
+def geom_rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Area of the UNION of each group's rectangles (coverage area of
+    detections / viewports / crop sets — the measure-of-union problem) by
+    per-group coordinate compression: the group's distinct x- and y-cuts
+    grid the plane into at most (2k−1)² cells, a cell is inside the union
+    iff some rectangle contains it entirely (rectangles' edges lie on the
+    cuts, so containment of the cell ⇔ containment of its min corner),
+    and the union area is the exact integer sum of covered-cell areas.
+
+    Scale shape: every stage keys on the group id — the cut windows, the
+    cell cross join (bounded at (2k−1)² per group by construction), and
+    the coverage semi-join — so groups parallelize perfectly and no
+    global structure exists; a group's work is O(k³) for k rectangles,
+    the right trade below ~10³ rects/group (beyond that a per-group Arrow
+    sweepline kernel would take over, the pip-kernel pattern)."""
+    r = _rects(spark, N_RECT_A, *_RA).select(
+        (F.col("i") % _UNION_GROUPS).alias("grp"), "x0", "y0", "x1", "y1"
+    )
+    from pyspark.sql import Window
+
+    def cuts(c0, c1, out):
+        c = (
+            r.select("grp", F.explode(F.array(c0, c1)).alias("c"))
+            .distinct()
+        )
+        w = Window.partitionBy("grp").orderBy("c")
+        return c.select(
+            "grp", F.col("c").alias(f"{out}a"), F.lead("c").over(w).alias(f"{out}b")
+        ).where(F.col(f"{out}b").isNotNull())
+
+    cells = cuts("x0", "x1", "x").join(cuts("y0", "y1", "y"), "grp")
+    covered = cells.join(
+        r.select(
+            F.col("grp").alias("rg"), F.col("x0").alias("rx0"),
+            F.col("y0").alias("ry0"), F.col("x1").alias("rx1"),
+            F.col("y1").alias("ry1"),
+        ),
+        (F.col("grp") == F.col("rg"))
+        & (F.col("rx0") <= F.col("xa")) & (F.col("rx1") >= F.col("xb"))
+        & (F.col("ry0") <= F.col("ya")) & (F.col("ry1") >= F.col("yb")),
+        "left_semi",
+    )
+    return (
+        covered.groupBy("grp")
+        .agg(
+            F.sum(
+                (F.col("xb") - F.col("xa")) * (F.col("yb") - F.col("ya"))
+            ).alias("union_area")
+        )
+        .orderBy("grp")
+    )

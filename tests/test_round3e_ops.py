@@ -448,3 +448,30 @@ def test_pca_power_converges_on_planted_gap(spark):
     v = np.array(pca_power_vector(df, 3))
     assert abs(float(v @ w)) > 0.99
     assert abs(np.linalg.norm(v) - 1.0) < 1e-12
+
+
+def test_rect_union_area_matches_rasterization(spark):
+    """Coordinate-compression union area vs full-grid rasterization (an
+    entirely independent measure) on several groups of the fixture."""
+    import numpy as np
+
+    from etf_topox_spark.operators.spatial_queries import (
+        _RA,
+        _RPOS,
+        _RWMAX,
+        _UNION_GROUPS,
+        N_RECT_A,
+        geom_rect_union_area,
+    )
+
+    pdf = geom_rect_union_area(spark, "unused").toPandas()
+    kx, ky, kw, kh = _RA
+    for g in (0, 7, 123, 499):
+        grid = np.zeros((4096, 4096), bool)
+        for i in range(g, N_RECT_A, _UNION_GROUPS):
+            x0 = (i * kx) % _RPOS
+            y0 = (i * ky) % _RPOS
+            grid[x0 : x0 + 1 + (i * kw) % _RWMAX, y0 : y0 + 1 + (i * kh) % _RWMAX] = True
+        want = int(grid.sum())
+        got = int(pdf[pdf.grp == g].union_area.iloc[0])
+        assert got == want, (g, got, want)
