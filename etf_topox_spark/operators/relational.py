@@ -999,3 +999,152 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     return dist.orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# Distribution analytics: ABC (Pareto) classes and per-nation Gini
+# --------------------------------------------------------------------------
+
+_ABC_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) AS r
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, o_custkey, r,
+         CAST(SUM(r) OVER (PARTITION BY c_nationkey
+                           ORDER BY r DESC, o_custkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS DOUBLE) AS cum,
+         CAST(SUM(r) OVER (PARTITION BY c_nationkey) AS DOUBLE) AS tot
+  FROM rev
+),
+cls AS (
+  SELECT c_nationkey,
+         CASE WHEN cum / tot <= 0.8 THEN 'A'
+              WHEN cum / tot <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+         r
+  FROM ranked
+)
+SELECT n.n_name AS nation, abc_class,
+       COUNT(*) AS n_customers,
+       CAST(SUM(r) AS DOUBLE) AS class_revenue
+FROM cls JOIN nation n ON n.n_nationkey = cls.c_nationkey
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("orders_abc_analysis", oracle=_ABC_SQL)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto 80/95) customer classification per nation: rank
+    customers by exact decimal revenue within their nation, classify by
+    cumulative revenue share, roll up to (nation, class) counts +
+    revenue. Windows partition on nationkey (never global); revenue sums
+    stay DECIMAL until the final share division, so the cumulative shares
+    are bit-identical across engines. The per-customer reduce is the RFM
+    family's exchange, reused."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(DecimalType(30, 6))).alias("r"))
+    )
+    w = W.partitionBy("c_nationkey").orderBy(F.col("r").desc(), "o_custkey")
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wall = W.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "r",
+        (F.sum("r").over(wcum).cast("double")).alias("cum"),
+        (F.sum("r").over(wall).cast("double")).alias("tot"),
+    )
+    share = F.col("cum") / F.col("tot")
+    cls = ranked.select(
+        "c_nationkey",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+        "r",
+    )
+    n = T(spark, sf_dir, "nation")
+    return (
+        cls.join(F.broadcast(n), cls.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("r").cast("double").alias("class_revenue"),
+        )
+        .orderBy("nation", "abc_class")
+    )
+
+
+_GINI_SQL = """
+WITH rev AS (
+  SELECT c.c_nationkey, o.o_custkey,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,6))) * 100 AS BIGINT)
+           AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT c_nationkey, cents,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY cents, o_custkey) AS i,
+         COUNT(*) OVER (PARTITION BY c_nationkey) AS n,
+         SUM(cents) OVER (PARTITION BY c_nationkey) AS tot
+  FROM rev
+)
+SELECT nt.n_name AS nation, CAST(MAX(n) AS BIGINT) AS n_customers,
+       CAST(SUM((2 * i - n - 1) * cents) AS DOUBLE) / (MAX(n) * MAX(tot)) AS gini
+FROM ranked JOIN nation nt ON nt.n_nationkey = ranked.c_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("orders_gini_by_nation", oracle=_GINI_SQL)
+def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue per nation — the inequality
+    summary (mean absolute difference form: Σ(2i−n−1)xᵢ / (n·Σx) over
+    ascending xᵢ). Revenues convert to exact integer cents from the
+    DECIMAL sum (never from a rounded double), so the whole statistic is
+    int64 arithmetic until one final division — bit-identical across
+    engines regardless of partitioning. Ranking windows partition on
+    nationkey; ties break on custkey for a total order."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(
+            (F.sum(F.col("o_totalprice").cast(DecimalType(30, 6))) * 100)
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    wall = W.partitionBy("c_nationkey")
+    ranked = rev.select(
+        "c_nationkey",
+        "cents",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("tot"),
+    )
+    n = T(spark, sf_dir, "nation")
+    return (
+        ranked.join(F.broadcast(n), ranked.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n").cast("long").alias("n_customers"),
+            (
+                F.sum((2 * F.col("i") - F.col("n") - 1) * F.col("cents")).cast(
+                    "double"
+                )
+                / (F.max("n") * F.max("tot"))
+            ).alias("gini"),
+        )
+        .orderBy("nation")
+    )
