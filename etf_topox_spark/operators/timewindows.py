@@ -318,3 +318,82 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# --- interval-union coverage (islands & gaps) ---------------------------------
+
+_COVER_DAYS = 30  # each order opens a 30-day activity window
+
+_INTERVAL_COVER_SQL = f"""
+WITH iv AS (
+  SELECT o_custkey,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS s,
+         datediff('day', DATE '1992-01-01', o_orderdate) + {_COVER_DAYS} AS e
+  FROM orders
+),
+marked AS (
+  SELECT o_custkey, s, e,
+         CASE WHEN s > COALESCE(MAX(e) OVER (
+                PARTITION BY o_custkey ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+isl AS (
+  SELECT o_custkey, s, e,
+         SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island_id
+  FROM marked
+),
+per_island AS (
+  SELECT o_custkey, island_id, MAX(e) - MIN(s) AS len
+  FROM isl GROUP BY 1, 2
+)
+SELECT o_custkey AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(len) AS BIGINT) AS covered_days
+FROM per_island GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("orders_interval_coverage", oracle=_INTERVAL_COVER_SQL)
+def orders_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union length per key — the islands-and-gaps pattern every
+    warehouse runs for activity coverage / SLA uptime / sensor-online
+    time: each order opens a {_COVER_DAYS}-day window, overlapping windows
+    merge, and the answer is the number of merged islands and their total
+    covered days. One running-max window marks island starts (an interval
+    begins a new island iff its start clears every earlier end), a running
+    sum numbers them, and a per-island MAX(e)−MIN(s) aggregate measures
+    them — all integer day arithmetic from a fixed epoch, all windows
+    partitioned on the customer key (the user_id-family exchange,
+    reused), no global stage anywhere."""
+    o = T(spark, sf_dir, "orders")
+    s = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    iv = o.select("o_custkey", s.alias("s"), (s + _COVER_DAYS).alias("e"))
+    w = W.partitionBy("o_custkey").orderBy("s", "e")
+    wprev = w.rowsBetween(W.unboundedPreceding, -1)
+    wcum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    marked = iv.select(
+        "o_custkey",
+        "s",
+        "e",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(wprev), F.lit(-1)), 1
+        ).otherwise(0).alias("new_island"),
+    )
+    isl = marked.select(
+        "o_custkey", "s", "e", F.sum("new_island").over(wcum).alias("island_id")
+    )
+    per_island = isl.groupBy("o_custkey", "island_id").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return (
+        per_island.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum("len").alias("covered_days"),
+        )
+        .orderBy("custkey")
+    )
