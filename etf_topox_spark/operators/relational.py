@@ -1148,3 +1148,130 @@ def orders_gini_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy-name census (Levenshtein with prefix blocking) and Allen relations
+# --------------------------------------------------------------------------
+
+_FUZZY_K = 3
+
+_FUZZY_SQL = f"""
+WITH p AS (SELECT p_partkey, p_name FROM part),
+pairs AS (
+  SELECT substr(a.p_name, 1, 2) AS block,
+         levenshtein(a.p_name, b.p_name) AS d
+  FROM p a JOIN p b
+    ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+   AND a.p_partkey < b.p_partkey
+   AND abs(length(a.p_name) - length(b.p_name)) <= {_FUZZY_K}
+   AND a.p_name <> b.p_name
+)
+SELECT block, d AS distance, COUNT(*) AS n_pairs
+FROM pairs WHERE d <= {_FUZZY_K}
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("text_fuzzy_name_census", oracle=_FUZZY_SQL)
+def text_fuzzy_name_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-duplicate census over part names: pairs within Levenshtein
+    {_FUZZY_K}, blocked by 2-char prefix + length band so the quadratic
+    edit-distance only runs inside small buckets (the standard fuzzy-
+    matching shape — blocking keys bound the candidate join, never an
+    all-pairs product). Spark's levenshtein and DuckDB's compute the same
+    classic DP distance, so the census is exact. Scale: ONE equi-join on
+    the block key; a hot prefix bucket is pip_join's salting case."""
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = p.select(
+        F.col("p_partkey").alias("ak"),
+        F.col("p_name").alias("an"),
+        F.substring("p_name", 1, 2).alias("block"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("bk"),
+        F.col("p_name").alias("bn"),
+        F.substring("p_name", 1, 2).alias("bblock"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("block") == F.col("bblock"))
+        & (F.col("ak") < F.col("bk"))
+        & (
+            F.abs(F.length("an") - F.length("bn")) <= _FUZZY_K
+        )
+        & (F.col("an") != F.col("bn")),
+    ).select("block", F.levenshtein("an", "bn").alias("d"))
+    return (
+        pairs.where(F.col("d") <= _FUZZY_K)
+        .groupBy("block", F.col("d").alias("distance"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("block", "distance")
+    )
+
+
+_ALLEN_CASE = """
+  CASE
+    WHEN a_e < b_s THEN 'before'
+    WHEN a_e = b_s THEN 'meets'
+    WHEN b_e < a_s THEN 'after'
+    WHEN b_e = a_s THEN 'met_by'
+    WHEN a_s = b_s AND a_e = b_e THEN 'equals'
+    WHEN a_s = b_s AND a_e < b_e THEN 'starts'
+    WHEN a_s = b_s AND a_e > b_e THEN 'started_by'
+    WHEN a_e = b_e AND a_s > b_s THEN 'finishes'
+    WHEN a_e = b_e AND a_s < b_s THEN 'finished_by'
+    WHEN a_s > b_s AND a_e < b_e THEN 'during'
+    WHEN a_s < b_s AND a_e > b_e THEN 'contains'
+    WHEN a_s < b_s THEN 'overlaps'
+    ELSE 'overlapped_by'
+  END
+"""
+
+_ALLEN_SQL = f"""
+WITH iv AS (
+  SELECT o_custkey, o_orderkey,
+         datediff('day', DATE '1992-01-01', o_orderdate) AS s,
+         datediff('day', DATE '1992-01-01', o_orderdate) + 30 AS e
+  FROM orders
+),
+pairs AS (
+  SELECT a.s AS a_s, a.e AS a_e, b.s AS b_s, b.e AS b_e
+  FROM iv a JOIN iv b
+    ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+)
+SELECT {_ALLEN_CASE} AS relation, COUNT(*) AS n
+FROM pairs GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("join_allen_relations", oracle=_ALLEN_SQL)
+def join_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen's interval algebra over each customer's order-activity
+    windows: every within-customer pair classifies into one of the 13
+    relations (before/meets/overlaps/starts/during/finishes/equals and
+    inverses) by a single exhaustive integer CASE — the temporal-DB
+    primitive beneath interval joins and conflict detection. Pairs are
+    bounded per customer (the key the join runs on), so the quadratic
+    stays inside buckets; the result is a ≤13-row census."""
+    o = T(spark, sf_dir, "orders")
+    s = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+    iv = o.select("o_custkey", "o_orderkey", s.alias("s"), (s + 30).alias("e"))
+    a = iv.select(
+        F.col("o_custkey").alias("ck"), F.col("o_orderkey").alias("ak"),
+        F.col("s").alias("a_s"), F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("o_custkey").alias("ck2"), F.col("o_orderkey").alias("bk"),
+        F.col("s").alias("b_s"), F.col("e").alias("b_e"),
+    )
+    pairs = a.join(
+        b, (F.col("ck") == F.col("ck2")) & (F.col("ak") < F.col("bk"))
+    )
+    rel = F.expr(_ALLEN_CASE)
+    return (
+        pairs.select(rel.alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("relation")
+    )
