@@ -388,3 +388,123 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# --- weighted median (A-family extension) ------------------------------------
+
+_WMEDIAN_SQL = """
+WITH w AS (
+  SELECT l_returnflag, l_extendedprice AS x,
+         CAST(l_quantity AS BIGINT) AS wt
+  FROM lineitem
+),
+ranked AS (
+  SELECT l_returnflag, x, wt,
+         SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY x, wt
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+  FROM w
+)
+SELECT l_returnflag, MIN(x) AS weighted_median
+FROM ranked WHERE 2 * cum >= tot
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_SQL)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the lower weighted
+    median (first value whose cumulative weight reaches half the total:
+    2·cum ≥ tot in exact integer weights, so no midpoint interpolation and
+    no float compare). One ordered window per group plus a MIN; ties on
+    the value order break on weight for a deterministic cumsum. Weighted
+    medians are the robust-statistics sibling of A5's exact percentiles."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    from pyspark.sql.window import Window as W
+
+    wcum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("x", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "x",
+        F.sum("wt").over(wcum).alias("cum"),
+        F.sum("wt").over(wall).alias("tot"),
+    )
+    return (
+        ranked.where(2 * F.col("cum") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("x").alias("weighted_median"))
+        .orderBy("l_returnflag")
+    )
+
+
+# --- seasonality residual matrix ---------------------------------------------
+
+_SEASONALITY_SQL = """
+WITH obs AS (
+  SELECT c.c_nationkey, EXTRACT(month FROM o.o_orderdate) AS m,
+         COUNT(*) AS o_cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+rowt AS (SELECT c_nationkey, SUM(o_cnt) AS row_n FROM obs GROUP BY 1),
+colt AS (SELECT m, SUM(o_cnt) AS col_n FROM obs GROUP BY 1),
+tot AS (SELECT SUM(o_cnt) AS n FROM obs)
+SELECT nt.n_name AS nation, CAST(obs.m AS BIGINT) AS month, obs.o_cnt AS observed,
+       CAST(r.row_n AS DOUBLE) * c.col_n / t.n AS expected,
+       (obs.o_cnt - CAST(r.row_n AS DOUBLE) * c.col_n / t.n)
+         / sqrt(CAST(r.row_n AS DOUBLE) * c.col_n / t.n) AS pearson_residual
+FROM obs
+JOIN rowt r USING (c_nationkey)
+JOIN colt c USING (m)
+CROSS JOIN tot t
+JOIN nation nt ON nt.n_nationkey = obs.c_nationkey
+ORDER BY nation, month
+"""
+
+
+@query("orders_seasonality_residuals", oracle=_SEASONALITY_SQL)
+def orders_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality screening: the (nation × month) order-count contingency
+    table with independence-model expectations and Pearson residuals —
+    the cells a χ² test would sum, kept PER CELL so every number is one
+    deterministic chain of IEEE ops (no order-sensitive global
+    reduction). Marginals are tiny partial-aggregable counts; the
+    expected/residual pass is a broadcast join of three marginal tables
+    onto the 25×12 cell grid."""
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    obs = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey", F.month("o_orderdate").alias("m"))
+        .agg(F.count(F.lit(1)).alias("o_cnt"))
+    )
+    rowt = obs.groupBy("c_nationkey").agg(F.sum("o_cnt").alias("row_n"))
+    colt = obs.groupBy("m").agg(F.sum("o_cnt").alias("col_n"))
+    tot = obs.agg(F.sum("o_cnt").alias("n"))
+    expected = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    return (
+        obs.join(F.broadcast(rowt), "c_nationkey")
+        .join(F.broadcast(colt), "m")
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("m").cast("long").alias("month"),
+            F.col("o_cnt").alias("observed"),
+            expected.alias("expected"),
+            ((F.col("o_cnt") - expected) / F.sqrt(expected)).alias(
+                "pearson_residual"
+            ),
+        )
+        .orderBy("nation", "month")
+    )
