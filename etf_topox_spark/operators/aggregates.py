@@ -508,3 +508,132 @@ def orders_seasonality_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation", "month")
     )
+
+
+# --- Wilson-score supplier ranking -------------------------------------------
+
+_WILSON_SQL = """
+WITH s AS (
+  SELECT l_suppkey,
+         COUNT(*) AS n,
+         SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS ok
+  FROM lineitem GROUP BY 1
+),
+w AS (
+  SELECT l_suppkey, n, ok,
+         CAST(ok AS DOUBLE) / n AS p,
+         (CAST(ok AS DOUBLE) / n + 2.0 / n
+          - 2.0 * sqrt((CAST(ok AS DOUBLE) / n) * (1 - CAST(ok AS DOUBLE) / n) / n
+                       + 1.0 / (n * n)))
+           / (1 + 4.0 / n) AS wilson_lo
+  FROM s
+)
+SELECT l_suppkey, n, ok, p, wilson_lo
+FROM w ORDER BY wilson_lo DESC, l_suppkey LIMIT 100
+"""
+
+
+@query("supplier_wilson_ranking", oracle=_WILSON_SQL)
+def supplier_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank suppliers by the Wilson score lower bound of their non-return
+    rate (z = 2, ≈97.7%) — the canonical small-sample-honest rating sort:
+    a supplier with 3/3 clean shipments must not outrank one with 95/100.
+    Counts reduce map-side; the bound is one deterministic per-row IEEE
+    chain (sqrt is correctly rounded, so both engines agree bit-for-bit);
+    the top-100 is a tiny ordered limit over one row per supplier."""
+    li = T(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("ok"),
+    )
+    p = F.col("ok").cast("double") / F.col("n")
+    wilson = (
+        p + 2.0 / F.col("n")
+        - 2.0 * F.sqrt(p * (1 - p) / F.col("n") + 1.0 / (F.col("n") * F.col("n")))
+    ) / (1 + 4.0 / F.col("n"))
+    return (
+        s.select("l_suppkey", "n", "ok", p.alias("p"), wilson.alias("wilson_lo"))
+        .orderBy(F.col("wilson_lo").desc(), "l_suppkey")
+        .limit(100)
+    )
+
+
+# --- lag-1 autocorrelation per event type ------------------------------------
+
+_AUTOCORR_SQL = """
+WITH seq AS (
+  SELECT event_type, value,
+         LEAD(value) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           AS nxt
+  FROM events
+),
+mean_ AS (
+  SELECT event_type,
+         CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(*) AS mu
+  FROM events GROUP BY 1
+),
+parts AS (
+  SELECT s.event_type,
+         CAST(SUM(CAST((s.value - m.mu) * (s.nxt - m.mu) AS DECIMAL(30,6)))
+              AS DOUBLE) AS num
+  FROM seq s JOIN mean_ m USING (event_type)
+  WHERE s.nxt IS NOT NULL
+  GROUP BY 1
+),
+den AS (
+  SELECT e.event_type,
+         CAST(SUM(CAST((e.value - m.mu) * (e.value - m.mu) AS DECIMAL(30,6)))
+              AS DOUBLE) AS den
+  FROM events e JOIN mean_ m USING (event_type)
+  GROUP BY 1
+)
+SELECT p.event_type, p.num / d.den AS autocorr_lag1
+FROM parts p JOIN den d USING (event_type)
+ORDER BY p.event_type
+"""
+
+
+@query("events_autocorr_lag1", oracle=_AUTOCORR_SQL)
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of event values per type — the burstiness /
+    momentum screen a telemetry pipeline runs before modeling. Every
+    order-sensitive reduction uses the dsum pattern: per-row products are
+    deterministic IEEE doubles, each rounds once into DECIMAL(30,6), and
+    the decimal sums are order- and partition-independent, so the
+    statistic is bit-identical across engines. LEAD pairs consecutive
+    values under the (ts, event_id) total order on the event_type
+    exchange the other streaming-family queries already use."""
+    from pyspark.sql.window import Window as W
+
+    ev = T(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "value", F.lead("value").over(w).alias("nxt")
+    )
+    mean_ = ev.groupBy("event_type").agg(
+        (dsum(F.col("value")) / F.count(F.lit(1))).alias("mu")
+    )
+    parts = (
+        seq.join(mean_, "event_type")
+        .where(F.col("nxt").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            dsum((F.col("value") - F.col("mu")) * (F.col("nxt") - F.col("mu"))).alias(
+                "num"
+            )
+        )
+    )
+    den = (
+        ev.join(mean_, "event_type")
+        .groupBy("event_type")
+        .agg(
+            dsum(
+                (F.col("value") - F.col("mu")) * (F.col("value") - F.col("mu"))
+            ).alias("den")
+        )
+    )
+    return (
+        parts.join(den, "event_type")
+        .select("event_type", (F.col("num") / F.col("den")).alias("autocorr_lag1"))
+        .orderBy("event_type")
+    )
