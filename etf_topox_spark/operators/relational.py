@@ -1275,3 +1275,95 @@ def join_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("relation")
     )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting (degree-ordered orientation)
+# --------------------------------------------------------------------------
+
+_TRIANGLE_SQL = f"""
+WITH e0 AS (
+  SELECT DISTINCT l_orderkey % {BFS_N} AS u, l_partkey % {BFS_N} AS v
+  FROM lineitem
+),
+und AS (
+  SELECT LEAST(u, v) AS a, GREATEST(u, v) AS b FROM e0 WHERE u <> v
+  GROUP BY 1, 2
+),
+deg AS (
+  SELECT n, COUNT(*) AS d FROM (
+    SELECT a AS n FROM und UNION ALL SELECT b FROM und) GROUP BY 1
+),
+-- orient every edge from the lower-(degree, id) endpoint to the higher:
+-- each wedge is then generated exactly once, at its smallest-degree apex
+ori AS (
+  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS s,
+         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS t
+  FROM und u JOIN deg da ON da.n = u.a JOIN deg db ON db.n = u.b
+),
+wedge AS (
+  SELECT e1.s AS apex, e1.t AS x, e2.t AS y
+  FROM ori e1 JOIN ori e2 ON e1.s = e2.s AND e1.t < e2.t
+),
+tri AS (
+  SELECT w.apex, w.x, w.y FROM wedge w
+  JOIN und c ON c.a = LEAST(w.x, w.y) AND c.b = GREATEST(w.x, w.y)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+       CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+       CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes
+FROM tri
+"""
+
+
+@query("graph_triangle_count", oracle=_TRIANGLE_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count by degree-ordered edge orientation — the
+    classic bound that makes wedges Σ d_out² with d_out ≤ O(√m) instead
+    of Σ d² (hub nodes never serve as wedge apexes): orient each
+    undirected edge from its lower-(degree, id) endpoint, self-join the
+    oriented list on the apex, close wedges against the undirected edge
+    set. Same lineitem-derived graph as graph_bfs_hops. Three exchanges
+    (degree count, apex join, closing join), all equi-keyed; no global
+    structure."""
+    li = T(spark, sf_dir, "lineitem")
+    e0 = li.select(
+        (F.col("l_orderkey") % BFS_N).alias("u"),
+        (F.col("l_partkey") % BFS_N).alias("v"),
+    ).distinct()
+    und = (
+        e0.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("b"), F.col("d").alias("db"))
+    j = und.join(da, "a").join(db, "b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    ori = j.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("s"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("t"),
+    )
+    e1 = ori.select(F.col("s"), F.col("t").alias("x"))
+    e2 = ori.select(F.col("s"), F.col("t").alias("y"))
+    wedge = e1.join(e2, "s").where(F.col("x") < F.col("y"))
+    tri = wedge.join(
+        und,
+        (F.least("x", "y") == F.col("a")) & (F.greatest("x", "y") == F.col("b")),
+        "left_semi",
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_tri.crossJoin(n_edges).crossJoin(n_nodes)
