@@ -1408,3 +1408,123 @@ def geom_rect_union_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# --- map matching: snap points to the nearest road segment --------------------
+
+_MM_POINTS = 5000
+_MM_GRID = 20  # unit road grid over the [0, 20)^2 point domain
+
+_MAP_MATCH_SQL = f"""
+WITH pts AS ({points_sql(_MM_POINTS)}),
+roads AS (
+  SELECT k.range * {_MM_GRID} + j.range AS road_id, 0 AS vert,
+         CAST(j.range AS DOUBLE) AS ax, CAST(k.range AS DOUBLE) AS ay,
+         CAST(j.range + 1 AS DOUBLE) AS bx, CAST(k.range AS DOUBLE) AS by
+  FROM range({_MM_GRID + 1}) k, range({_MM_GRID}) j
+  UNION ALL
+  SELECT 100000 + j.range * {_MM_GRID} + k.range, 1,
+         CAST(j.range AS DOUBLE), CAST(k.range AS DOUBLE),
+         CAST(j.range AS DOUBLE), CAST(k.range + 1 AS DOUBLE)
+  FROM range({_MM_GRID + 1}) j, range({_MM_GRID}) k
+),
+cand AS (
+  SELECT p.point_id, r.road_id,
+         CASE WHEN r.vert = 0
+              THEN GREATEST(CAST(0 AS DOUBLE), r.ax - p.x, p.x - r.bx)
+              ELSE ABS(p.x - r.ax) END AS dx,
+         CASE WHEN r.vert = 0
+              THEN ABS(p.y - r.ay)
+              ELSE GREATEST(CAST(0 AS DOUBLE), r.ay - p.y, p.y - r.by) END AS dy,
+         CASE WHEN r.vert = 0
+              THEN LEAST(GREATEST(p.x, r.ax), r.bx) ELSE r.ax END AS sx,
+         CASE WHEN r.vert = 0
+              THEN r.ay ELSE LEAST(GREATEST(p.y, r.ay), r.by) END AS sy
+  FROM pts p CROSS JOIN roads r
+),
+best AS (
+  SELECT point_id, road_id, sx, sy, dx * dx + dy * dy AS d2,
+         ROW_NUMBER() OVER (PARTITION BY point_id
+                            ORDER BY dx * dx + dy * dy, road_id) AS rk
+  FROM cand
+)
+SELECT point_id, road_id, sx, sy, sqrt(d2) AS dist
+FROM best WHERE rk = 1 ORDER BY point_id
+"""
+
+
+@query("spatial_map_match", oracle=_MAP_MATCH_SQL)
+def spatial_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map matching: snap every GPS-style point to its nearest road
+    segment (a unit grid network over the point domain), reporting the
+    matched road, the snapped coordinate (the segment's closest point)
+    and the snap distance — the first stage of every trajectory-to-network
+    pipeline. Point-to-segment distance for axis-aligned roads is the
+    clamp-residual form (GREATEST(0, lo−p, p−hi) per axis), one
+    deterministic IEEE chain shared verbatim with the oracle; the argmin
+    tie-breaks on road_id through a per-point window.
+
+    Scale shape: the road network BROADCASTS (real networks are the small
+    side — millions of segments vs billions of pings) and the candidate
+    generation is map-side; a network too big to broadcast would reuse
+    the pip_join cell-blocking pattern, comparing each ping only against
+    segments covering its cell neighborhood. The per-point argmin window
+    partitions on point_id — maximal cardinality, no skew."""
+    from pyspark.sql import Window
+
+    pts = synthetic_points(spark, _MM_POINTS)
+    g = _MM_GRID
+    horiz = (
+        spark.range(g + 1)
+        .select(F.col("id").alias("k"))
+        .crossJoin(spark.range(g).select(F.col("id").alias("j")))
+        .select(
+            (F.col("k") * g + F.col("j")).alias("road_id"),
+            F.lit(0).alias("vert"),
+            F.col("j").cast("double").alias("ax"),
+            F.col("k").cast("double").alias("ay"),
+            (F.col("j") + 1).cast("double").alias("bx"),
+            F.col("k").cast("double").alias("by"),
+        )
+    )
+    vert = (
+        spark.range(g + 1)
+        .select(F.col("id").alias("j"))
+        .crossJoin(spark.range(g).select(F.col("id").alias("k")))
+        .select(
+            (F.lit(100000) + F.col("j") * g + F.col("k")).alias("road_id"),
+            F.lit(1).alias("vert"),
+            F.col("j").cast("double").alias("ax"),
+            F.col("k").cast("double").alias("ay"),
+            F.col("j").cast("double").alias("bx"),
+            (F.col("k") + 1).cast("double").alias("by"),
+        )
+    )
+    roads = horiz.unionByName(vert)
+    cand = pts.crossJoin(F.broadcast(roads)).select(
+        "point_id",
+        "road_id",
+        F.when(
+            F.col("vert") == 0,
+            F.greatest(F.lit(0.0), F.col("ax") - F.col("x"), F.col("x") - F.col("bx")),
+        ).otherwise(F.abs(F.col("x") - F.col("ax"))).alias("dx"),
+        F.when(F.col("vert") == 0, F.abs(F.col("y") - F.col("ay"))).otherwise(
+            F.greatest(F.lit(0.0), F.col("ay") - F.col("y"), F.col("y") - F.col("by"))
+        ).alias("dy"),
+        F.when(
+            F.col("vert") == 0, F.least(F.greatest(F.col("x"), F.col("ax")), F.col("bx"))
+        ).otherwise(F.col("ax")).alias("sx"),
+        F.when(
+            F.col("vert") == 0, F.col("ay")
+        ).otherwise(F.least(F.greatest(F.col("y"), F.col("ay")), F.col("by"))).alias("sy"),
+    )
+    d2 = F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+    w = Window.partitionBy("point_id").orderBy(d2.asc(), "road_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "point_id", "road_id", "sx", "sy", F.sqrt(d2).alias("dist")
+        )
+        .orderBy("point_id")
+    )
