@@ -1120,3 +1120,101 @@ def image_box_match_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("image_id")
+
+
+# --- frame-to-frame IoU box tracking ------------------------------------------
+
+_TRACK_SQL = f"""
+WITH boxes AS ({_NMS_BOXES_SQL}),
+pred AS (SELECT * FROM boxes WHERE image_id < {NMS_IMAGES - 1}),
+nxt AS (SELECT * FROM boxes),
+qual AS (
+  SELECT p.box_id AS box_a, p.image_id, p.score, n.box_id AS box_b,
+         GREATEST(0, LEAST(p.x1, n.x1) - GREATEST(p.x0, n.x0))
+           * GREATEST(0, LEAST(p.y1, n.y1) - GREATEST(p.y0, n.y0)) AS inter,
+         (p.x1 - p.x0) * (p.y1 - p.y0) + (n.x1 - n.x0) * (n.y1 - n.y0) AS s_area
+  FROM pred p JOIN nxt n ON n.image_id = p.image_id + 1
+  WHERE GREATEST(0, LEAST(p.x1, n.x1) - GREATEST(p.x0, n.x0))
+          * GREATEST(0, LEAST(p.y1, n.y1) - GREATEST(p.y0, n.y0)) * {MATCH_IOU_DEN}
+        >= ((p.x1 - p.x0) * (p.y1 - p.y0) + (n.x1 - n.x0) * (n.y1 - n.y0)
+            - GREATEST(0, LEAST(p.x1, n.x1) - GREATEST(p.x0, n.x0))
+              * GREATEST(0, LEAST(p.y1, n.y1) - GREATEST(p.y0, n.y0)))
+           * {MATCH_IOU_NUM}
+),
+assigned AS (
+  SELECT * FROM (
+    SELECT box_a, image_id, score, box_b,
+           ROW_NUMBER() OVER (
+             PARTITION BY box_a
+             ORDER BY CAST(inter AS DOUBLE) / (s_area - inter) DESC, box_b
+           ) AS rk
+    FROM qual) WHERE rk = 1
+),
+tracks AS (
+  SELECT * FROM (
+    SELECT image_id, box_a, box_b,
+           ROW_NUMBER() OVER (
+             PARTITION BY box_b ORDER BY score DESC, box_a) AS rk2
+    FROM assigned) WHERE rk2 = 1
+)
+SELECT image_id AS frame, CAST(COUNT(*) AS BIGINT) AS n_tracks,
+       MIN(box_a) AS min_box_a, MAX(box_b) AS max_box_b
+FROM tracks GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("image_box_track", oracle=_TRACK_SQL)
+def image_box_track(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-to-frame detection tracking: boxes of frame k associate
+    one-to-one with boxes of frame k+1 by the same relational double-
+    argmax the PR matcher uses (each box takes its max-IoU successor at
+    IoU ≥ 1/2; each successor keeps its top-scoring claimant) — the
+    IoU-tracker data association step (SORT-style, minus the motion
+    model) with no sequential greedy walk. Per-frame track counts +
+    boundary ids summarize the association. Same bounded per-image pair
+    shape as NMS/PR; windows on maximal-cardinality box keys."""
+    b = nms_boxes(spark, sf_dir)
+    p = b.where(F.col("image_id") < NMS_IMAGES - 1).select(
+        F.col("box_id").alias("box_a"), "image_id", "score",
+        F.col("x0").alias("px0"), F.col("y0").alias("py0"),
+        F.col("x1").alias("px1"), F.col("y1").alias("py1"),
+    )
+    n = b.select(
+        F.col("box_id").alias("box_b"), F.col("image_id").alias("n_img"),
+        F.col("x0").alias("nx0"), F.col("y0").alias("ny0"),
+        F.col("x1").alias("nx1"), F.col("y1").alias("ny1"),
+    )
+    inter = F.greatest(
+        F.lit(0), F.least("px1", "nx1") - F.greatest("px0", "nx0")
+    ) * F.greatest(F.lit(0), F.least("py1", "ny1") - F.greatest("py0", "ny0"))
+    s_area = (F.col("px1") - F.col("px0")) * (F.col("py1") - F.col("py0")) + (
+        F.col("nx1") - F.col("nx0")
+    ) * (F.col("ny1") - F.col("ny0"))
+    qual = (
+        p.join(n, F.col("n_img") == F.col("image_id") + 1)
+        .where(inter * MATCH_IOU_DEN >= (s_area - inter) * MATCH_IOU_NUM)
+        .select(
+            "box_a", "image_id", "score", "box_b",
+            inter.alias("inter"), s_area.alias("s_area"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w1 = Window.partitionBy("box_a").orderBy(
+        (F.col("inter").cast("double") / (F.col("s_area") - F.col("inter"))).desc(),
+        "box_b",
+    )
+    assigned = qual.withColumn("rk", F.row_number().over(w1)).where(F.col("rk") == 1)
+    w2 = Window.partitionBy("box_b").orderBy(F.col("score").desc(), "box_a")
+    tracks = assigned.withColumn("rk2", F.row_number().over(w2)).where(
+        F.col("rk2") == 1
+    )
+    return (
+        tracks.groupBy(F.col("image_id").alias("frame"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tracks"),
+            F.min("box_a").alias("min_box_a"),
+            F.max("box_b").alias("max_box_b"),
+        )
+        .orderBy("frame")
+    )

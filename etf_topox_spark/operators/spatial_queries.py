@@ -1528,3 +1528,80 @@ def spatial_map_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("point_id")
     )
+
+
+# --- trig-free bearing sectors over trajectory steps --------------------------
+
+_BEARING_SQL = f"""
+WITH pts AS ({points_sql(N_TRAJ)}),
+tr AS (
+  SELECT point_id % {N_OBJECTS} AS object_id,
+         point_id // {N_OBJECTS} AS t, x, y
+  FROM pts
+),
+st AS (
+  SELECT object_id,
+         x - lag(x) OVER w AS dx, y - lag(y) OVER w AS dy
+  FROM tr WINDOW w AS (PARTITION BY object_id ORDER BY t)
+),
+sect AS (
+  SELECT object_id,
+    CASE
+      WHEN dy >= 0 AND dx > 0 AND dx >= dy THEN 'E'
+      WHEN dy > 0 AND dx >= 0 AND dy > dx THEN 'N'
+      WHEN dy > 0 AND dx < 0 AND dy >= -dx THEN 'N'
+      WHEN dy >= 0 AND dx < 0 AND -dx > dy THEN 'W'
+      WHEN dy < 0 AND dx < 0 AND -dx >= -dy THEN 'W'
+      WHEN dy < 0 AND dx <= 0 AND -dy > -dx THEN 'S'
+      WHEN dy < 0 AND dx > 0 AND -dy > dx THEN 'S'
+      ELSE 'E'
+    END AS sector
+  FROM st WHERE dx IS NOT NULL AND NOT (dx = 0 AND dy = 0)
+)
+SELECT object_id, sector, COUNT(*) AS n
+FROM sect GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("trajectory_bearing_sectors", oracle=_BEARING_SQL)
+def trajectory_bearing_sectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-object heading census in four 90° sectors (E = |dx| dominant
+    eastward, etc.) decided ENTIRELY by sign and magnitude comparisons of
+    the step vector — no atan2, so there is no transcendental-libm parity
+    risk between engines and the classification is exact on any input
+    (boundaries tie toward E/N/W/S deterministically, zero steps drop).
+    The same (object_id) window the trajectory_steps op uses; the census
+    is #objects × 4 rows."""
+    pts = synthetic_points(spark, N_TRAJ)
+    tr = pts.select(
+        (F.col("point_id") % N_OBJECTS).alias("object_id"),
+        F.floor(F.col("point_id") / N_OBJECTS).alias("t"),
+        "x",
+        "y",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("object_id").orderBy("t")
+    st = tr.select(
+        "object_id",
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    )
+    dx, dy = F.col("dx"), F.col("dy")
+    sector = (
+        F.when((dy >= 0) & (dx > 0) & (dx >= dy), "E")
+        .when((dy > 0) & (dx >= 0) & (dy > dx), "N")
+        .when((dy > 0) & (dx < 0) & (dy >= -dx), "N")
+        .when((dy >= 0) & (dx < 0) & (-dx > dy), "W")
+        .when((dy < 0) & (dx < 0) & (-dx >= -dy), "W")
+        .when((dy < 0) & (dx <= 0) & (-dy > -dx), "S")
+        .when((dy < 0) & (dx > 0) & (-dy > dx), "S")
+        .otherwise("E")
+    )
+    return (
+        st.where(dx.isNotNull() & ~((dx == 0) & (dy == 0)))
+        .select("object_id", sector.alias("sector"))
+        .groupBy("object_id", "sector")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("object_id", "sector")
+    )
