@@ -637,3 +637,84 @@ def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", (F.col("num") / F.col("den")).alias("autocorr_lag1"))
         .orderBy("event_type")
     )
+
+
+# --- exact two-sample Kolmogorov-Smirnov statistic per nation ----------------
+
+_KS_SQL = """
+WITH base AS (
+  SELECT s.s_nationkey, CAST(l.l_quantity AS BIGINT) AS q,
+         CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS grp
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE l.l_returnflag IN ('R', 'N')
+),
+cnt AS (
+  SELECT s_nationkey, q,
+         SUM(grp) AS c_r, SUM(1 - grp) AS c_n
+  FROM base GROUP BY 1, 2
+),
+cum AS (
+  SELECT s_nationkey, q,
+         SUM(c_r) OVER (PARTITION BY s_nationkey ORDER BY q) AS f_r,
+         SUM(c_n) OVER (PARTITION BY s_nationkey ORDER BY q) AS f_n,
+         SUM(c_r) OVER (PARTITION BY s_nationkey) AS n_r,
+         SUM(c_n) OVER (PARTITION BY s_nationkey) AS n_n
+  FROM cnt
+)
+SELECT nt.n_name AS nation,
+       CAST(MAX(n_r) AS BIGINT) AS n_r, CAST(MAX(n_n) AS BIGINT) AS n_n,
+       CAST(MAX(ABS(f_r * n_n - f_n * n_r)) AS BIGINT) AS d_num,
+       CAST(MAX(ABS(f_r * n_n - f_n * n_r)) AS DOUBLE)
+         / (MAX(n_r) * MAX(n_n)) AS d_stat
+FROM cum JOIN nation nt ON nt.n_nationkey = cum.s_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("lineitem_ks_by_nation", oracle=_KS_SQL)
+def lineitem_ks_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov distance between the returned
+    ('R') and clean ('N') quantity distributions per supplier nation —
+    the distribution-drift test a curation pipeline runs between cohorts.
+    ALL-integer: empirical CDFs never materialize as fractions; the sup
+    gap maximizes |F_r·n_n − F_n·n_r| in int64 and divides ONCE at the
+    end, so the statistic is exact and engine-identical. Scale shape: the
+    cumulative window runs over DISTINCT quantity values (≤ 50 per
+    nation), not rows — counts reduce map-side first, so the window input
+    is bounded by the value domain however many lineitems exist."""
+    from pyspark.sql.window import Window as W
+
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("R", "N"))
+    s = T(spark, sf_dir, "supplier")
+    base = li.join(s, li.l_suppkey == s.s_suppkey).select(
+        "s_nationkey",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+    )
+    cnt = base.groupBy("s_nationkey", "q").agg(
+        F.sum("grp").alias("c_r"), F.sum(1 - F.col("grp")).alias("c_n")
+    )
+    wq = W.partitionBy("s_nationkey").orderBy("q")
+    wall = W.partitionBy("s_nationkey")
+    cum = cnt.select(
+        "s_nationkey",
+        F.sum("c_r").over(wq).alias("f_r"),
+        F.sum("c_n").over(wq).alias("f_n"),
+        F.sum("c_r").over(wall).alias("n_r"),
+        F.sum("c_n").over(wall).alias("n_n"),
+    )
+    gap = F.abs(F.col("f_r") * F.col("n_n") - F.col("f_n") * F.col("n_r"))
+    n = T(spark, sf_dir, "nation")
+    return (
+        cum.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max("n_r").alias("n_r"),
+            F.max("n_n").alias("n_n"),
+            F.max(gap).alias("d_num"),
+            (F.max(gap).cast("double") / (F.max("n_r") * F.max("n_n"))).alias(
+                "d_stat"
+            ),
+        )
+        .orderBy("nation")
+    )
