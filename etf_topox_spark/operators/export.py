@@ -600,3 +600,148 @@ def cell_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c2.select(F.col("i").alias("feature_id"), cell.alias("cell")).orderBy(
         "feature_id", "cell"
     )
+
+
+# --- F9c: Z-order data layout vs row-id layout — scan-amplification stats ------
+
+_ZL_N = 50_000          # points written to files
+_ZL_FILES = 64          # file count per layout (z-layout: top-6 Morton bits)
+_ZL_GRID = 256          # res-8 grid over the [0, 20)² data window
+# probe rectangle in grid coordinates (~2.4% selectivity), deliberately
+# MISALIGNED with the Morton block grid so the z-layout shows realistic
+# partial pruning (an aligned probe would prune to exactly one file)
+_ZL_PX0, _ZL_PX1, _ZL_PY0, _ZL_PY1 = 100, 139, 40, 79
+
+
+def _zl_oracle() -> str:
+    from etf_topox_spark.sources.points import points_sql
+
+    sx = _morton_spread_sql("xi")
+    sy = _morton_spread_sql("yi")
+    probe = (
+        f"mnx <= {_ZL_PX1} AND mxx >= {_ZL_PX0}"
+        f" AND mny <= {_ZL_PY1} AND mxy >= {_ZL_PY0}"
+    )
+    return f"""
+WITH pts AS ({points_sql(_ZL_N)}),
+xy AS (
+  SELECT point_id,
+         LEAST(GREATEST(CAST(FLOOR(x / 20.0 * {_ZL_GRID}) AS BIGINT), 0), {_ZL_GRID - 1}) AS xi,
+         LEAST(GREATEST(CAST(FLOOR(y / 20.0 * {_ZL_GRID}) AS BIGINT), 0), {_ZL_GRID - 1}) AS yi
+  FROM pts
+),
+assigned AS (
+  SELECT 'id_range' AS layout, (point_id * {_ZL_FILES}) // {_ZL_N} AS file_id, xi, yi FROM xy
+  UNION ALL
+  SELECT 'zorder', (({sx}) | (({sy}) << 1)) >> 10, xi, yi FROM xy
+),
+files AS (
+  SELECT layout, file_id, COUNT(*) AS n,
+         MIN(xi) AS mnx, MAX(xi) AS mxx, MIN(yi) AS mny, MAX(yi) AS mxy
+  FROM assigned GROUP BY 1, 2
+),
+matching AS (
+  SELECT COUNT(*) AS m FROM xy
+  WHERE xi BETWEEN {_ZL_PX0} AND {_ZL_PX1} AND yi BETWEEN {_ZL_PY0} AND {_ZL_PY1}
+)
+SELECT layout, COUNT(*) AS n_files,
+       CAST(SUM(CASE WHEN {probe} THEN 1 ELSE 0 END) AS BIGINT) AS files_touched,
+       CAST(SUM(CASE WHEN {probe} THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       (SELECT m FROM matching) AS rows_matching
+FROM files GROUP BY layout ORDER BY layout
+"""
+
+
+def _spread_col(c):
+    """Catalyst twin of functions.cells._spread_bits32 / _morton_spread_sql —
+    the same shift/mask cascade as a JVM-side expression tree (codegen'd,
+    no Python)."""
+    for shift, mask in (
+        (16, 281470681808895),
+        (8, 71777214294589695),
+        (4, 1085102592571150095),
+        (2, 3689348814741910323),
+        (1, 6148914691236517205),
+    ):
+        c = c.bitwiseOR(F.shiftleft(c, shift)).bitwiseAND(F.lit(mask))
+    return c
+
+
+@query("zorder_layout_stats", oracle=_zl_oracle())
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) file clustering vs naive row-id-range layout,
+    graded by scan amplification — the data-layout decision that dominates
+    10^12-row table scans: a file is skippable iff its min/max column
+    statistics (the parquet footer / Iceberg manifest stats this models)
+    miss the probe window, and Z-order clustering is what makes per-file
+    bboxes tight. Reports, per layout: file count, files touched by a ~2%
+    bbox probe, rows inside touched files (what a reader must scan), and
+    true matching rows (what it wanted). The z-layout assigns by Morton
+    PREFIX (top bits = quadtree block), not by a global sort — prefix
+    ranges are exactly how production Z-order writers bucket rows, and
+    they need no ordering exchange at all.
+
+    Scale shape: the whole job is ONE (layout, file_id)-keyed count/min/max
+    shuffle with map-side partial aggregation over a tagged two-leg union
+    (file table is bounded by the file count, not the row count) plus one
+    single-row probe count; the Morton key is a pure Catalyst shift/mask
+    cascade (codegen — no Python, no sort anywhere). Oracle replays the
+    identical spread symbolically (exact ints → bit-exact)."""
+    from etf_topox_spark.sources.points import synthetic_points
+
+    pts = synthetic_points(spark, _ZL_N)
+    grid = F.lit(_ZL_GRID)
+    xi = F.least(
+        F.greatest(F.floor(F.col("x") / 20.0 * grid), F.lit(0)),
+        F.lit(_ZL_GRID - 1),
+    )
+    yi = F.least(
+        F.greatest(F.floor(F.col("y") / 20.0 * grid), F.lit(0)),
+        F.lit(_ZL_GRID - 1),
+    )
+    xy = pts.select("point_id", xi.alias("xi"), yi.alias("yi"))
+    morton = _spread_col(F.col("xi")).bitwiseOR(
+        F.shiftleft(_spread_col(F.col("yi")), 1)
+    )
+    assigned = xy.select(
+        F.lit("id_range").alias("layout"),
+        F.expr(f"(point_id * {_ZL_FILES}) div {_ZL_N}").alias("file_id"),
+        "xi",
+        "yi",
+    ).unionAll(
+        xy.select(
+            F.lit("zorder").alias("layout"),
+            F.shiftright(morton, 10).alias("file_id"),
+            "xi",
+            "yi",
+        )
+    )
+    files = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("xi").alias("mnx"),
+        F.max("xi").alias("mxx"),
+        F.min("yi").alias("mny"),
+        F.max("yi").alias("mxy"),
+    )
+    touched = (
+        (F.col("mnx") <= _ZL_PX1)
+        & (F.col("mxx") >= _ZL_PX0)
+        & (F.col("mny") <= _ZL_PY1)
+        & (F.col("mxy") >= _ZL_PY0)
+    )
+    matching = xy.filter(
+        F.col("xi").between(_ZL_PX0, _ZL_PX1) & F.col("yi").between(_ZL_PY0, _ZL_PY1)
+    ).agg(F.count(F.lit(1)).alias("rows_matching"))
+    return (
+        files.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(F.when(touched, 1).otherwise(0)).alias("files_touched"),
+            F.sum(F.when(touched, F.col("n")).otherwise(0)).alias("rows_scanned"),
+        )
+        .crossJoin(F.broadcast(matching))
+        .select(
+            "layout", "n_files", "files_touched", "rows_scanned", "rows_matching"
+        )
+        .orderBy("layout")
+    )

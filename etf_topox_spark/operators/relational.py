@@ -1367,3 +1367,147 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_edges = und.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_tri.crossJoin(n_edges).crossJoin(n_nodes)
+
+
+# --------------------------------------------------------------------------
+# Connected components as a first-class query (labels companion of BFS/PR)
+# --------------------------------------------------------------------------
+
+CC_N = 200_000  # node universe; l_linenumber=7 keeps the graph a sparse
+                # forest (sf0.01: 8.6k edges, 5k components, max size 23)
+
+_CC_SQL = f"""
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT l_orderkey % {CC_N} AS u,
+                  (l_partkey * 31 + l_suppkey) % {CC_N} AS v
+  FROM lineitem WHERE l_linenumber = 7
+),
+edges AS (
+  SELECT u AS s, v AS d FROM ed WHERE u <> v
+  UNION SELECT v, u FROM ed WHERE u <> v
+),
+walk(node, lbl) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+)
+SELECT node, MIN(lbl) AS root
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+@query("graph_connected_components", oracle=_CC_SQL)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the sparse co-purchase graph, surfacing
+    the engine's shared CC machinery (used internally by free-standing
+    surfaces R10, dedup_clusters, spatial_cluster_points) as a driver query
+    with its own exact oracle. Label rule: root = component-minimum node id.
+
+    Scale shape: the hybrid CC in operators.topology — below the measured
+    20M-pair crossover one vectorized driver union-find (one Spark action);
+    above it alternating large-star/small-star rounds (Kiveris et al.) of
+    bounded equi-joins with localCheckpoint lineage truncation — the 100 TB
+    path needs no driver-side graph. Both strategies emit the same
+    min-label roots; the union of root self-rows below makes the row set
+    strategy-invariant (the star loop's converged edge list does not carry
+    an explicit (root, root) row, the driver path does).
+
+    Oracle: recursive min-label reachability walk — UNION set semantics
+    bound the walk at Σ component_size² rows, which the sparse fixture
+    keeps tiny (max component = 23 nodes)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 7)
+    pairs = (
+        li.select(
+            (F.col("l_orderkey") % CC_N).alias("src"),
+            ((F.col("l_partkey") * 31 + F.col("l_suppkey")) % CC_N).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    from etf_topox_spark.operators.topology import connected_components
+
+    labels = connected_components(pairs)
+    roots = labels.select(F.col("root").alias("node"), F.col("root"))
+    return (
+        labels.select("node", "root")
+        .unionByName(roots)
+        .distinct()
+        .orderBy("node")
+    )
+
+
+# --------------------------------------------------------------------------
+# Weighted single-source shortest paths (fixed-round Bellman-Ford)
+# --------------------------------------------------------------------------
+
+SSSP_N = 5_000   # node universe (denser than CC: every lineitem row)
+SSSP_ROUNDS = 5  # fixed relaxation depth → shortest path over ≤5 edges
+
+_SSSP_SQL = f"""
+WITH RECURSIVE ed AS (
+  SELECT DISTINCT l_orderkey % {SSSP_N} AS u, l_partkey % {SSSP_N} AS v
+  FROM lineitem
+),
+edges AS (
+  SELECT u AS src, v AS dst, (u + v) % 9 + 1 AS wt FROM ed WHERE u <> v
+  UNION
+  SELECT v, u, (u + v) % 9 + 1 FROM ed WHERE u <> v
+),
+walk(node, d, i) AS (
+  SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+  UNION
+  SELECT e.dst, w.d + e.wt, w.i + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.i < {SSSP_ROUNDS}
+)
+SELECT node, MIN(d) AS dist
+FROM walk GROUP BY node ORDER BY node
+"""
+
+
+@query("graph_weighted_sssp", oracle=_SSSP_SQL)
+def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted single-source shortest paths by {SSSP_ROUNDS} fixed
+    Bellman-Ford relaxation rounds — the values-with-min companion of
+    graph_bfs_hops (hops) and graph_pagerank (mass): every round is ONE
+    equi-join dist⋈edges keyed on the node id plus a min-aggregate, the
+    edge table is checkpointed once and its partitioning reused, and each
+    round localCheckpoints so the lineage stays flat (the iterative-Spark
+    discipline shared with the CC star loop). Integer weights make every
+    distance exact on both engines; the fixed round count makes the result
+    a deterministic function of the graph (shortest walk over ≤{SSSP_ROUNDS}
+    edges), so the plan is static — no data-dependent convergence test in
+    the hot path (at 10^9 nodes the usual stop-when-no-change probe is one
+    extra count per round; fixed depth skips even that).
+
+    Oracle: recursive walk bounded by the hop counter, UNION-deduped per
+    (node, d, i) state; MIN(d) per node replays the relaxation exactly."""
+    li = T(spark, sf_dir, "lineitem")
+    e0 = (
+        li.select(
+            (F.col("l_orderkey") % SSSP_N).alias("u"),
+            (F.col("l_partkey") % SSSP_N).alias("v"),
+        )
+        .distinct()
+        .filter(F.col("u") != F.col("v"))
+    )
+    wt = (F.col("u") + F.col("v")) % 9 + 1
+    edges = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"), wt.alias("wt"))
+        .union(e0.select(F.col("v"), F.col("u"), wt))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = spark.createDataFrame([(0, 0)], "node long, d long")
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            dist.join(edges, dist.node == edges.src)
+            .select(F.col("dst").alias("node"), (F.col("d") + F.col("wt")).alias("d"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select("node", F.col("d").alias("dist")).orderBy("node")

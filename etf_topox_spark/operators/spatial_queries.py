@@ -1605,3 +1605,91 @@ def trajectory_bearing_sectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("object_id", "sector")
     )
+
+
+# --------------------------------------------------------------------------
+# Global spatial autocorrelation (Moran's I) over grid cells
+# --------------------------------------------------------------------------
+
+N_MORAN = 40_000  # points; odd ids collapse into one hot cell → strong
+                  # positive autocorrelation signal around (10, 10)
+
+_MORAN_SQL = f"""
+WITH pts AS ({points_sql(40_000)}),
+cells AS (
+  SELECT CAST(floor(x) AS BIGINT) AS cx, CAST(floor(y) AS BIGINT) AS cy,
+         COUNT(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+tot AS (SELECT COUNT(*) AS nc, CAST(SUM(n) AS BIGINT) AS s FROM cells),
+dev AS (SELECT cx, cy, t.nc * n - t.s AS dv FROM cells, tot t),
+pr AS (
+  SELECT COUNT(*) AS w, CAST(SUM(a.dv * b.dv) AS BIGINT) AS num
+  FROM dev a JOIN dev b
+    ON abs(a.cx - b.cx) + abs(a.cy - b.cy) = 1
+),
+dn AS (SELECT CAST(SUM(dv * dv) AS BIGINT) AS den FROM dev)
+SELECT t.nc AS n_cells, pr.w AS w_pairs, pr.num AS moran_num, dn.den AS moran_den,
+       (CAST(pr.num AS DOUBLE) / CAST(dn.den AS DOUBLE))
+       * (CAST(t.nc AS DOUBLE) / CAST(pr.w AS DOUBLE)) AS morans_i
+FROM tot t, pr, dn
+"""
+
+
+@query("spatial_morans_i", oracle=_MORAN_SQL)
+def spatial_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global Moran's I — THE spatial-autocorrelation statistic — over
+    per-cell point counts with rook (4-neighbor, binary-weight) adjacency.
+    Exact-arithmetic form: with S = Σn and N = cell count, the deviation
+    N·n_i − S is an integer (= N² × the rational (n_i − S/N)), so both the
+    cross-product numerator Σ_{{i~j}} dev_i·dev_j and the variance
+    denominator Σ dev_i² are exact int64 sums — the N² factors cancel in
+    the ratio, and I = (num/den)·(N/W) is computed with one identical
+    two-division expression tree on both engines (bit-exact doubles, the
+    points regenerate in SQL bit-for-bit).
+
+    Scale shape: ONE count shuffle on the cell key (map-side partial
+    combine); the neighbor pairing is an equi-join of the cell table
+    against its four unit-shifted copies (never a theta join — the
+    shifted-copy trick turns |Δ|=1 adjacency into a hash join key), and
+    the final reduces are single-row aggregates. At 10^12 points the cell
+    table is bounded by the index resolution, not the data."""
+    pts = synthetic_points(spark, N_MORAN)
+    cells = (
+        pts.groupBy(
+            F.floor("x").alias("cx"), F.floor("y").alias("cy")
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cells.agg(
+        F.count(F.lit(1)).alias("nc"), F.sum("n").alias("s")
+    )
+    dev = cells.crossJoin(F.broadcast(tot)).select(
+        "cx", "cy", (F.col("nc") * F.col("n") - F.col("s")).alias("dv")
+    )
+    shifted = None
+    for dx, dy in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+        leg = dev.select(
+            (F.col("cx") + dx).alias("cx"),
+            (F.col("cy") + dy).alias("cy"),
+            F.col("dv").alias("dv_a"),
+        )
+        shifted = leg if shifted is None else shifted.unionByName(leg)
+    pairs = shifted.join(dev, ["cx", "cy"]).select("dv_a", "dv")
+    pr = pairs.agg(
+        F.count(F.lit(1)).alias("w"), F.sum(F.col("dv_a") * F.col("dv")).alias("num")
+    )
+    dn = dev.agg(F.sum(F.col("dv") * F.col("dv")).alias("den"))
+    return (
+        tot.crossJoin(pr)
+        .crossJoin(dn)
+        .select(
+            F.col("nc").alias("n_cells"),
+            F.col("w").alias("w_pairs"),
+            F.col("num").alias("moran_num"),
+            F.col("den").alias("moran_den"),
+            (
+                (F.col("num").cast("double") / F.col("den").cast("double"))
+                * (F.col("nc").cast("double") / F.col("w").cast("double"))
+            ).alias("morans_i"),
+        )
+    )

