@@ -1218,3 +1218,80 @@ def image_box_track(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("frame")
     )
+
+
+# --- per-channel pixel histogram, decode-vs-symbolic cross check ---------------
+
+N_HIST_IMGS = 150  # smaller corpus: the oracle replays every pixel in SQL
+
+_CHANNEL_HIST_SQL = f"""
+WITH imgs AS (
+  SELECT i, (i * 2654435761) % 251 AS base,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h
+  FROM (SELECT range AS i FROM range(0, {N_HIST_IMGS}))
+),
+px AS (
+  SELECT base, x.range AS x, y.range AS y
+  FROM imgs, range(0, 128) x, range(0, 128) y
+  WHERE x.range < w AND y.range < h
+),
+chans AS (
+  SELECT 'r' AS channel, (base + 3 * x + 5 * y) % 256 AS bin FROM px
+  UNION ALL
+  SELECT 'g', (base * 7 + 11 * x + 2 * y + (x * y) % 17) % 256 FROM px
+  UNION ALL
+  SELECT 'b', (base * 13 + x // 2 + 7 * y) % 256 FROM px
+)
+SELECT channel, bin, COUNT(*) AS n
+FROM chans GROUP BY channel, bin ORDER BY channel, bin
+"""
+
+
+@query("image_channel_histogram", oracle=_CHANNEL_HIST_SQL)
+def image_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide per-channel pixel histogram — the dataset-statistics
+    pass every vision-training pipeline runs (normalization constants,
+    exposure skew, dead-channel detection) — computed from the REAL
+    decoded bytes (PNG inflate / raw view) and checked against a symbolic
+    SQL replay of the generator formulas: a second, independent proof of
+    lossless decode beside the PSNR invariant (a single wrong pixel in any
+    image shifts two histogram bins).
+
+    Scale shape: the kernel decodes a whole Arrow batch and emits ONE
+    pre-reduced 768-row partial histogram per batch (np.bincount), so the
+    shuffle carries #batches × 768 rows, never #pixels; the final
+    (channel, bin) aggregate is partial-aggregable on both sides of the
+    exchange. At 10^12 images this is the canonical map-side-combine
+    reduction — bytes never leave the map task."""
+    import numpy as np  # local: keep worker import cost off module load
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_HIST_IMGS)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            acc = np.zeros((3, 256), np.int64)
+            for r in pdf.itertuples(index=False):
+                px = IC.decode(bytes(r.bytes), r.fmt)
+                for c in range(3):
+                    acc[c] += np.bincount(px[..., c].ravel(), minlength=256)
+            yield pd.DataFrame(
+                {
+                    "channel": np.repeat(np.array(["r", "g", "b"], object), 256),
+                    "bin": np.tile(np.arange(256, dtype=np.int64), 3),
+                    "n": acc.reshape(-1),
+                }
+            )
+
+    return (
+        imgs.mapInPandas(kernel, "channel string, bin long, n long")
+        .groupBy("channel", "bin")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
+        .orderBy("channel", "bin")
+    )

@@ -1511,3 +1511,83 @@ def graph_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("d").alias("dist")).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition (fixed peel rounds)
+# --------------------------------------------------------------------------
+
+KCORE_N = 20_000   # node universe; l_linenumber<=2 keeps avg degree ~3
+KCORE_K = 3
+KCORE_ROUNDS = 12  # fixture converges at round 11 (sf0.01) / 8 (sf0.001);
+                   # one spare round makes the fixed-depth result THE k-core
+
+
+def _kcore_sql() -> str:
+    s = f"""WITH ed AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {KCORE_N} AS u, l_partkey % {KCORE_N} AS v
+  FROM lineitem WHERE l_linenumber <= 2
+), e0 AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM ed WHERE u <> v
+  UNION SELECT v, u FROM ed WHERE u <> v
+)"""
+    for r in range(KCORE_ROUNDS):
+        s += f""",
+k{r} AS MATERIALIZED (SELECT src FROM e{r} GROUP BY src HAVING COUNT(*) >= {KCORE_K}),
+e{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM e{r} e
+  JOIN k{r} a ON a.src = e.src JOIN k{r} b ON b.src = e.dst)"""
+    s += (
+        f"\nSELECT src AS node, COUNT(*) AS degree"
+        f" FROM e{KCORE_ROUNDS} GROUP BY src ORDER BY node"
+    )
+    return s
+
+
+@query("graph_kcore", oracle=_kcore_sql())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core of the co-purchase graph by {KCORE_ROUNDS} fixed peel
+    rounds: each round drops every node with surviving-degree < k, then
+    drops edges touching a dropped node — the standard iterative peel,
+    expressed as one degree aggregate + two semi-joins per round, all keyed
+    on the node id. Fixed depth keeps the plan static (the data-dependent
+    stop-when-stable probe is one count per round — skipped, like SSSP);
+    the fixture converges inside the budget so the fixed-depth result IS
+    the true k-core (pytest pins the fixpoint). localCheckpoint per round
+    keeps the lineage flat — at 10^9 edges each round is two bounded
+    equi-join shuffles, no driver-side graph state.
+
+    Oracle: the same peel unrolled as MATERIALIZED CTE stages (without
+    MATERIALIZED, each stage inlines its predecessor twice → exponential
+    replay)."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    e0 = (
+        li.select(
+            (F.col("l_orderkey") % KCORE_N).alias("u"),
+            (F.col("l_partkey") % KCORE_N).alias("v"),
+        )
+        .distinct()
+        .filter(F.col("u") != F.col("v"))
+    )
+    alive = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(e0.select(F.col("v"), F.col("u")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("src")
+        )
+        alive = (
+            alive.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        alive.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .orderBy("node")
+    )

@@ -397,3 +397,110 @@ def orders_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+# --- CUSUM changepoint detection per event type -------------------------------
+
+_CUSUM_SQL = """
+WITH ev AS (
+  SELECT event_type, ts, event_id,
+         CAST(FLOOR(value * 1000000.0) AS BIGINT) AS vi
+  FROM events
+),
+st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(vi) AS BIGINT) AS s
+       FROM ev GROUP BY 1),
+d AS (SELECT e.event_type, e.ts, e.event_id, st.n * e.vi - st.s AS dv
+      FROM ev e JOIN st USING (event_type)),
+c1 AS (
+  SELECT event_type, ts,
+         SUM(dv) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+),
+c2 AS (
+  SELECT event_type, ts,
+         cum - LEAST(CAST(0 AS BIGINT),
+                     MIN(cum) OVER (PARTITION BY event_type ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS cusum
+  FROM c1
+),
+r AS (
+  SELECT event_type, ts, cusum,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cusum DESC, ts) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_events
+  FROM c2
+)
+SELECT event_type, n_events, cusum AS max_cusum, ts AS ts_changepoint
+FROM r WHERE rn = 1 ORDER BY event_type
+"""
+
+
+@query("events_cusum_changepoint", oracle=_CUSUM_SQL)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint detection per event type — the classic
+    sequential drift monitor, made window-expressible by the prefix
+    identity s_i = max(0, s_{i-1} + d_i) = cum_i − min(0, min_{j≤i} cum_j):
+    no sequential recurrence, just two cumulative windows. The argmax of
+    the CUSUM path is the standard changepoint location estimate. All
+    arithmetic is exact int64: values floor-scale to micro-units, and the
+    deviation from the per-type mean uses the N·v − S integer form (the
+    Moran's-I trick), so both engines agree bit-for-bit with no float
+    summation anywhere.
+
+    Scale shape: one per-type stats aggregate (broadcast back), then
+    windows partitioned on event_type ordered by event time — the same
+    per-key time-ordered exchange every sessionizer needs; at 10^12 events
+    the partition key spreads over (type, day) buckets with a carry-in
+    merge, the documented scale-out of all cumulative windows here."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000000.0).alias("vi"),
+    )
+    st = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("vi").alias("s")
+    )
+    d = ev.join(F.broadcast(st), "event_type").select(
+        "event_type", "ts", "event_id",
+        (F.col("n") * F.col("vi") - F.col("s")).alias("dv"),
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c1 = d.select("event_type", "ts", F.sum("dv").over(wcum).alias("cum"))
+    wmin = (
+        W.partitionBy("event_type")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c2 = c1.select(
+        "event_type",
+        "ts",
+        (
+            F.col("cum")
+            - F.least(F.lit(0).cast("long"), F.min("cum").over(wmin))
+        ).alias("cusum"),
+    )
+    wrank = W.partitionBy("event_type").orderBy(F.col("cusum").desc(), "ts")
+    wall = W.partitionBy("event_type")
+    r = c2.select(
+        "event_type",
+        "ts",
+        "cusum",
+        F.row_number().over(wrank).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_events"),
+    )
+    return (
+        r.filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "n_events",
+            F.col("cusum").alias("max_cusum"),
+            F.col("ts").alias("ts_changepoint"),
+        )
+        .orderBy("event_type")
+    )

@@ -613,8 +613,24 @@ def intersection_errors(
         # a pair can recur inside one cell via duplicate directed edges
         yield out.drop_duplicates().drop(columns=["cell"])
 
-    n_parts = exploded.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return exploded.repartition(int(n_parts), "cell").mapInPandas(
+    # Task granularity: this exchange feeds a CPU-heavy Arrow kernel, so it
+    # wants 3-4 tasks PER CORE (work-stealing smooths cell-hash imbalance
+    # and Arrow-batch concat variance), not the byte-sized global
+    # spark.sql.shuffle.partitions the tiny aggregate exchanges use.
+    # Measured on the 800×800 scaling mosaic (tools/profile_topo probes,
+    # best-of-2 per point): at 8 cores 8→32 partitions cuts the stage
+    # 7.98→3.51 s (the 2→8 scaling pair's missing efficiency was exactly
+    # this — 8 tasks on 8 cores let the slowest task set the wall); at 32
+    # cores 32/64/128 partitions are equivalent within the box's noise; at
+    # 2 cores the shuffle-partition floor keeps today's behavior. On a real
+    # cluster defaultParallelism is total executor cores, so the same rule
+    # scales the fan-out with the cluster.
+    spark = exploded.sparkSession
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        4 * spark.sparkContext.defaultParallelism,
+    )
+    return exploded.repartition(n_parts, "cell").mapInPandas(
         part_kernel, ERROR_SCHEMA
     )
 

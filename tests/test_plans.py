@@ -377,3 +377,19 @@ def test_bigram_lm_vocabulary_broadcasts(spark):
     plan = _plan(QUERIES["text_bigram_likelihood"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["graph_kcore", "events_cusum_changepoint", "image_channel_histogram"],
+)
+def test_round3g_batch2_ops_stay_clean(spark, qname):
+    """k-core peel rounds are node-keyed equi-joins; CUSUM windows
+    partition on event_type (never global); the histogram's only Python is
+    the Arrow decode kernel (ArrowEvalPython/MapInPandas — allowed), with
+    the (channel, bin) reduce partial-aggregated."""
+    plan = _plan(QUERIES[qname](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SinglePartition" not in body

@@ -139,3 +139,99 @@ def test_bigram_likelihood_matches_pandas(spark):
         assert r.bigram_mass == sum(vocab[b] for b in g)
         assert r.typicality == r.bigram_mass / r.n_bigrams
     assert len(got) == len(docs)
+
+
+def test_kcore_matches_numpy_peel_and_is_fixpoint(spark):
+    from etf_topox_spark.operators.relational import (
+        KCORE_K,
+        KCORE_N,
+        KCORE_ROUNDS,
+        graph_kcore,
+    )
+
+    got = graph_kcore(spark, SF).toPandas()
+    li = pd.read_parquet(
+        f"{SF}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_linenumber"],
+    )
+    li = li[li["l_linenumber"] <= 2]
+    e = pd.DataFrame(
+        {
+            "u": (li["l_orderkey"] % KCORE_N).to_numpy(np.int64),
+            "v": (li["l_partkey"] % KCORE_N).to_numpy(np.int64),
+        }
+    ).drop_duplicates()
+    e = e[e["u"] != e["v"]]
+    # symmetrize THEN dedup: the fixture holds some pairs in both
+    # orientations, which the engine/oracle UNION collapses
+    sym = pd.DataFrame(
+        {
+            "s": np.concatenate([e["u"].to_numpy(), e["v"].to_numpy()]),
+            "d": np.concatenate([e["v"].to_numpy(), e["u"].to_numpy()]),
+        }
+    ).drop_duplicates()
+    src = sym["s"].to_numpy(np.int64)
+    dst = sym["d"].to_numpy(np.int64)
+    alive = np.ones(len(src), bool)
+    rounds_to_fix = None
+    for r in range(KCORE_ROUNDS):
+        deg = np.bincount(src[alive], minlength=KCORE_N)
+        keep = deg >= KCORE_K
+        na = alive & keep[src] & keep[dst]
+        if rounds_to_fix is None and (na == alive).all():
+            rounds_to_fix = r
+        alive = na
+    # the fixed budget reaches the true k-core on this fixture (fixpoint
+    # with at least one spare round), so the result is not depth-truncated
+    assert rounds_to_fix is not None and rounds_to_fix < KCORE_ROUNDS
+    deg = np.bincount(src[alive], minlength=KCORE_N)
+    expect = {int(n): int(d) for n, d in enumerate(deg) if d > 0}
+    assert dict(zip(got["node"], got["degree"])) == expect
+    assert (got["degree"] >= KCORE_K).all()
+
+
+def test_channel_histogram_matches_generator(spark):
+    from etf_topox_spark.operators.image_queries import (
+        N_HIST_IMGS,
+        image_channel_histogram,
+    )
+    from etf_topox_spark.sources.images import image_meta, image_pixels
+
+    got = image_channel_histogram(spark, SF).toPandas()
+    acc = np.zeros((3, 256), np.int64)
+    total_px = 0
+    for i in range(N_HIST_IMGS):
+        w, h, _, _ = image_meta(i)
+        px = image_pixels(i, w, h)
+        total_px += w * h
+        for c in range(3):
+            acc[c] += np.bincount(px[..., c].ravel(), minlength=256)
+    lookup = {(r.channel, int(r.bin)): int(r.n) for r in got.itertuples()}
+    for ci, ch in enumerate("rgb"):
+        for b in range(256):
+            assert lookup.get((ch, b), 0) == acc[ci, b]
+    # mass check: every decoded pixel lands in exactly one bin per channel
+    assert int(got["n"].sum()) == 3 * total_px
+
+
+def test_cusum_window_identity_matches_recurrence(spark):
+    from etf_topox_spark.operators.timewindows import events_cusum_changepoint
+
+    got = events_cusum_changepoint(spark, SF).toPandas()
+    ev = pd.read_parquet(f"{SF}/events.parquet")
+    ev["vi"] = np.floor(ev["value"].to_numpy() * 1_000_000.0).astype(np.int64)
+    for r in got.itertuples():
+        g = ev[ev["event_type"] == r.event_type].sort_values(["ts", "event_id"])
+        n = len(g)
+        s_tot = int(g["vi"].sum())
+        d = n * g["vi"].to_numpy(np.int64) - s_tot
+        # the sequential definition the window identity must reproduce
+        s = 0
+        best, best_ts = -1, None
+        for dv, ts in zip(d, g["ts"]):
+            s = max(0, s + int(dv))
+            if s > best:
+                best, best_ts = s, ts
+        assert r.n_events == n
+        assert r.max_cusum == best
+        assert pd.Timestamp(r.ts_changepoint) == pd.Timestamp(best_ts)
