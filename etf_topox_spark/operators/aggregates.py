@@ -718,3 +718,98 @@ def lineitem_ks_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- count-min sketch heavy hitters (A3 family: mergeable sketches) ------------
+
+CMS_D = 4       # hash rows
+CMS_W = 1024    # counters per row
+CMS_P = 2147483647  # Mersenne prime 2^31-1 (universal-hash modulus)
+# fixed pairwise-independent hash parameters (public Carter-Wegman family)
+CMS_A = [40503, 48271, 69621, 16807]
+CMS_B = [12345, 67891, 54321, 98765]
+CMS_TOPK = 20
+
+
+def _cms_bucket_sql(j: int, key: str) -> str:
+    return f"(({key} * {CMS_A[j]} + {CMS_B[j]}) % {CMS_P}) % {CMS_W}"
+
+
+_CMS_SQL = f"""
+WITH items AS (SELECT l_partkey AS k FROM lineitem),
+counters AS (
+  {" UNION ALL ".join(
+      f"SELECT {j} AS j, {_cms_bucket_sql(j, 'k')} AS bucket, COUNT(*) AS c "
+      f"FROM items GROUP BY 2"
+      for j in range(CMS_D)
+  )}
+),
+keys AS (SELECT k, COUNT(*) AS exact_n FROM items GROUP BY k),
+est AS (
+  SELECT k, exact_n,
+         LEAST({", ".join(
+             f"(SELECT c FROM counters WHERE j = {j} "
+             f"AND bucket = {_cms_bucket_sql(j, 'keys.k')})"
+             for j in range(CMS_D)
+         )}) AS cms_est
+  FROM keys
+),
+r AS (SELECT k AS partkey, exact_n, cms_est,
+             ROW_NUMBER() OVER (ORDER BY cms_est DESC, k) AS rn
+      FROM est)
+SELECT partkey, exact_n, cms_est, CAST(rn AS INTEGER) AS rn
+FROM r WHERE rn <= {CMS_TOPK} ORDER BY rn
+"""
+
+
+@query("agg_cms_heavy_hitters", oracle=_CMS_SQL)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over lineitem part keys, with the
+    exact count alongside for the one-sided-error audit (CMS never
+    underestimates: est ≥ exact always; the pytest pins it).
+
+    The sketch is the real thing — d=4 Carter-Wegman rows × w=1024
+    counters, built as d partial-aggregable hash aggregates (one stacked
+    groupBy: at 10^12 rows each map task reduces its items into ≤ d·w
+    counter cells before the exchange, so the shuffle carries
+    O(tasks · d · w) regardless of data size — the textbook mergeability
+    argument, and why CMS beats exact counting for cardinality-unbounded
+    streams). Estimates come from broadcast-joining the 4096-row counter
+    table back to the candidate keys, min over the d rows.
+
+    Oracle: DuckDB replays the identical counters and minima — the sketch
+    is deterministic given the hash family, so even the approximate path
+    is value-hash-checkable (SURVEY §2.B A3's HLL stays rows-only; this is
+    the exact-replayable sketch beside it)."""
+    li = T(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    legs = []
+    for j in range(CMS_D):
+        bucket = ((F.col("k") * CMS_A[j] + CMS_B[j]) % CMS_P) % CMS_W
+        legs.append(li.select(F.lit(j).alias("j"), bucket.alias("bucket")))
+    stacked = legs[0]
+    for leg in legs[1:]:
+        stacked = stacked.unionByName(leg)
+    counters = stacked.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    keys = li.groupBy("k").agg(F.count(F.lit(1)).alias("exact_n"))
+    est = keys
+    for j in range(CMS_D):
+        cj = counters.filter(F.col("j") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("c").alias(f"c{j}")
+        )
+        est = est.withColumn(
+            f"b{j}", ((F.col("k") * CMS_A[j] + CMS_B[j]) % CMS_P) % CMS_W
+        ).join(F.broadcast(cj), f"b{j}")
+    from pyspark.sql import Window
+
+    ranked = est.withColumn(
+        "cms_est", F.least(*[F.col(f"c{j}") for j in range(CMS_D)])
+    ).select(
+        F.col("k").alias("partkey"),
+        "exact_n",
+        "cms_est",
+    )
+    # global top-k: partial TakeOrdered per partition, never a full sort
+    topk = ranked.orderBy(F.col("cms_est").desc(), F.col("partkey")).limit(CMS_TOPK)
+    return topk.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("cms_est").desc(), F.col("partkey"))).cast("int")
+    ).orderBy("rn")

@@ -1295,3 +1295,377 @@ def image_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") > 0)
         .orderBy("channel", "bin")
     )
+
+
+# --- zonal statistics: decoded raster pixels aggregated per vector zone --------
+
+N_ZONAL_IMGS = 120
+
+# Symbolic replay of the decoded-tile sums: enumerate every pixel of every
+# in-window tile from the generator formulas (sources/images.py
+# image_pixels), assign the tile's center to its grid zone with the same
+# left/lower tie rule as _TILE_ASSIGN_SQL, and aggregate per zone. Any
+# single wrong byte in the engine's real decode path shifts a zone sum.
+_ZONAL_SQL = f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base,
+         CAST((i * {GEO_KX}) % {GEO_M} AS DOUBLE) / {GEO_DIV} AS lon,
+         CAST((i * {GEO_KY}) % {GEO_M} AS DOUBLE) / {GEO_DIV} AS lat
+  FROM (SELECT range AS i FROM range(0, {N_ZONAL_IMGS}))
+),
+tiles AS (
+  SELECT i, base, tx.range AS tx, ty.range AS ty,
+         lon + CAST(tx.range * {TILE} + {TILE // 2} AS DOUBLE) / 1024.0 AS cx,
+         lat + CAST(ty.range * {TILE} + {TILE // 2} AS DOUBLE) / 1024.0 AS cy
+  FROM imgs, range(0, 4) tx, range(0, 4) ty
+  WHERE tx.range < w / {TILE} AND ty.range < h / {TILE}
+),
+inside AS (
+  SELECT *,
+         CAST((CASE WHEN cy = floor(cy) AND cy > 0 THEN cy - 1 ELSE floor(cy) END) * {GRID_N}
+            + (CASE WHEN cx = floor(cx) AND cx > 0 THEN cx - 1 ELSE floor(cx) END) AS BIGINT)
+           AS feature_id
+  FROM tiles WHERE cx <= 20.0 AND cy <= 20.0
+),
+px AS (
+  SELECT feature_id, base,
+         tx * {TILE} + dx.range AS x, ty * {TILE} + dy.range AS y
+  FROM inside, range(0, {TILE}) dx, range(0, {TILE}) dy
+)
+SELECT feature_id,
+       COUNT(DISTINCT base) AS n_src,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM((base + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((base * 7 + 11 * x + 2 * y + (x * y) % 17) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((base * 13 + x // 2 + 7 * y) % 256) AS BIGINT) AS sum_b,
+       CAST(MAX((base + 3 * x + 5 * y) % 256) AS BIGINT) AS max_r,
+       CAST(MIN((base * 13 + x // 2 + 7 * y) % 256) AS BIGINT) AS min_b
+FROM px GROUP BY feature_id ORDER BY feature_id
+"""
+
+
+@query("raster_zonal_stats", oracle=_ZONAL_SQL)
+def raster_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics — the raster↔vector payoff query: per-vector-zone
+    aggregates of REAL decoded pixel values (sum/min/max per channel),
+    computed by decoding every 32×32 tile's raw bytes (the actual binary
+    column, PNG-inflated upstream by tile_images) and reducing per tile
+    BEFORE any exchange.
+
+    Scale shape: the decode kernel emits ONE 8-number row per tile (the
+    mapInPandas pre-reduction — pixel bytes never cross a shuffle), tile
+    centers join to zones through the existing pip_join (broadcast cell
+    index at this polygon count, two-stage shuffle beyond), and the final
+    per-zone aggregate is an ordinary partial-aggregable hash agg. At
+    10^12 images the exchange carries one stats row per tile, ~3 orders
+    below the pixel payload; identical to the channel-histogram reduction
+    but keyed by a spatial join instead of a constant."""
+    import numpy as np  # local: worker-side kernel deps
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    tiles = tile_images(synthetic_images(spark, N_ZONAL_IMGS))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = IC.raw_decode(bytes(r.tile_bytes)).astype(np.int64)
+                rows.append(
+                    (
+                        int(r.tile_id),
+                        float(r.cx),
+                        float(r.cy),
+                        int(t[..., 0].sum()),
+                        int(t[..., 1].sum()),
+                        int(t[..., 2].sum()),
+                        int(t[..., 0].max()),
+                        int(t[..., 2].min()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "tile_id", "cx", "cy",
+                    "sum_r", "sum_g", "sum_b", "max_r", "min_b",
+                ],
+            )
+
+    stats = tiles.mapInPandas(
+        kernel,
+        "tile_id long, cx double, cy double, "
+        "sum_r long, sum_g long, sum_b long, max_r long, min_b long",
+    )
+    centers = stats.select(
+        F.col("tile_id").alias("point_id"), F.col("cx").alias("x"), F.col("cy").alias("y")
+    )
+    rings = surface_mosaic(spark, rows=GRID_N, cols=GRID_N, defect="valid_mosaic")
+    assign = pip_join(spark, centers, rings).select(
+        F.col("point_id").alias("tile_id"), "feature_id"
+    )
+    return (
+        stats.join(assign, "tile_id")
+        .withColumn("src", F.expr(f"(CAST(tile_id AS BIGINT) >> 16) * 2654435761 % 251"))
+        .groupBy("feature_id")
+        .agg(
+            F.countDistinct("src").alias("n_src"),
+            (F.count(F.lit(1)) * (TILE * TILE)).alias("n_px"),
+            F.sum("sum_r").alias("sum_r"),
+            F.sum("sum_g").alias("sum_g"),
+            F.sum("sum_b").alias("sum_b"),
+            F.max("max_r").alias("max_r"),
+            F.min("min_b").alias("min_b"),
+        )
+        .orderBy("feature_id")
+    )
+
+
+# --- slippy-map tile cover: which z/x/y tiles does each raster touch ----------
+
+COVER_N_IMGS = 400
+COVER_Z0, COVER_Z1 = 5, 9  # tile widths 0.625° … 20/512°
+_COVER_MAX_SPAN = 8  # ≥ ceil(max extent 0.125° / min tile width) + 1
+
+_TILE_COVER_SQL = f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         CAST((i * {GEO_KX}) % {GEO_M} AS DOUBLE) / {GEO_DIV} AS lon,
+         CAST((i * {GEO_KY}) % {GEO_M} AS DOUBLE) / {GEO_DIV} AS lat
+  FROM (SELECT range AS i FROM range(0, {COVER_N_IMGS}))
+),
+zs AS (SELECT range AS z, CAST(1 << range AS DOUBLE) AS p2
+       FROM range({COVER_Z0}, {COVER_Z1 + 1})),
+b AS (
+  SELECT i, z, p2,
+         CAST(FLOOR(lon * p2 / 20.0) AS BIGINT) AS tx0,
+         CAST(FLOOR(lat * p2 / 20.0) AS BIGINT) AS ty0,
+         lon + CAST(w AS DOUBLE) / 1024.0 AS xe,
+         lat + CAST(h AS DOUBLE) / 1024.0 AS ye
+  FROM imgs, zs
+),
+hx AS (
+  SELECT *,
+         LEAST(CAST((1 << z) - 1 AS BIGINT),
+               CAST(CASE WHEN xe * p2 / 20.0 = FLOOR(xe * p2 / 20.0)
+                         THEN FLOOR(xe * p2 / 20.0) - 1
+                         ELSE FLOOR(xe * p2 / 20.0) END AS BIGINT)) AS tx1,
+         LEAST(CAST((1 << z) - 1 AS BIGINT),
+               CAST(CASE WHEN ye * p2 / 20.0 = FLOOR(ye * p2 / 20.0)
+                         THEN FLOOR(ye * p2 / 20.0) - 1
+                         ELSE FLOOR(ye * p2 / 20.0) END AS BIGINT)) AS ty1
+  FROM b
+),
+refs AS (
+  SELECT i, z, tx0 + dx.range AS tx, ty0 + dy.range AS ty
+  FROM hx, range(0, {_COVER_MAX_SPAN}) dx, range(0, {_COVER_MAX_SPAN}) dy
+  WHERE tx0 + dx.range <= tx1 AND ty0 + dy.range <= ty1
+),
+per_img AS (SELECT i, z, COUNT(*) AS nt FROM refs GROUP BY 1, 2),
+agg AS (SELECT z, CAST(SUM(nt) AS BIGINT) AS n_tile_refs,
+               CAST(MAX(nt) AS BIGINT) AS max_tiles_per_image
+        FROM per_img GROUP BY z),
+dis AS (SELECT z, COUNT(DISTINCT tx * (CAST(1 AS BIGINT) << 32) + ty) AS n_distinct_tiles
+        FROM refs GROUP BY z)
+SELECT CAST(agg.z AS INTEGER) AS zoom, n_tile_refs, n_distinct_tiles,
+       max_tiles_per_image
+FROM agg JOIN dis USING (z) ORDER BY zoom
+"""
+
+
+@query("raster_tile_cover", oracle=_TILE_COVER_SQL)
+def raster_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slippy-map tile cover — for every raster footprint, the set of
+    z/x/y map tiles its half-open extent [anchor, anchor + size_px·PX_DEG)
+    touches, across a zoom pyramid; reported per zoom as total refs,
+    distinct tiles (shared-tile dedup across overlapping rasters) and the
+    worst per-image fan-out. This is THE ingestion planner for a tile
+    server / ML tile pipeline: refs-per-zoom sizes each level's shuffle,
+    distinct-tiles its storage, max-per-image its skew.
+
+    Boundary semantics pinned exactly: a raster whose edge lands ON a tile
+    boundary does not touch the next tile (half-open), via the same
+    `v = floor(v) → v−1` tie rule the PIP fixtures use; tile indices clamp
+    to the world grid. All tile math is closed-form on exact doubles
+    (power-of-two scale via shiftleft, one correctly-rounded divide), so
+    DuckDB replays bit-for-bit.
+
+    Scale shape: pure Catalyst — metadata-only (no pixel decode), explode
+    via sequence(tx0, tx1) bounded by the zoom fan-out, every aggregate
+    partial-aggregable; the distinct-tiles count is a two-level hash agg
+    on the packed (z, tx, ty) key."""
+    imgs = synthetic_images(spark, COVER_N_IMGS).select("image_id", "w", "h")
+    i_expr = F.substring("image_id", 5, 12).cast("long")
+    base = imgs.select(
+        i_expr.alias("i"),
+        "w",
+        "h",
+        ((i_expr * GEO_KX) % GEO_M).cast("double").alias("lon_n"),
+        ((i_expr * GEO_KY) % GEO_M).cast("double").alias("lat_n"),
+    ).select(
+        "i",
+        "w",
+        "h",
+        (F.col("lon_n") / GEO_DIV).alias("lon"),
+        (F.col("lat_n") / GEO_DIV).alias("lat"),
+    )
+    zdf = base.select(
+        "*", F.explode(F.array([F.lit(z) for z in range(COVER_Z0, COVER_Z1 + 1)])).alias("z")
+    ).withColumn("p2", F.expr("CAST(shiftleft(CAST(1 AS BIGINT), z) AS DOUBLE)"))
+
+    def _hi(end_col: str) -> F.Column:
+        v = F.col(end_col) * F.col("p2") / F.lit(20.0)
+        raw = F.when(v == F.floor(v), F.floor(v) - 1).otherwise(F.floor(v))
+        return F.least(F.expr("CAST(shiftleft(CAST(1 AS BIGINT), z) - 1 AS BIGINT)"), raw.cast("long"))
+
+    bounds = (
+        zdf.withColumn("xe", F.col("lon") + F.col("w").cast("double") / F.lit(1024.0))
+        .withColumn("ye", F.col("lat") + F.col("h").cast("double") / F.lit(1024.0))
+        .withColumn("tx0", F.floor(F.col("lon") * F.col("p2") / F.lit(20.0)).cast("long"))
+        .withColumn("ty0", F.floor(F.col("lat") * F.col("p2") / F.lit(20.0)).cast("long"))
+        .withColumn("tx1", _hi("xe"))
+        .withColumn("ty1", _hi("ye"))
+    )
+    refs = (
+        bounds.select("i", "z", F.explode(F.sequence("tx0", "tx1")).alias("tx"), "ty0", "ty1")
+        .select("i", "z", "tx", F.explode(F.sequence("ty0", "ty1")).alias("ty"))
+    )
+    per_img = refs.groupBy("i", "z").agg(F.count(F.lit(1)).alias("nt"))
+    per_zoom = per_img.groupBy("z").agg(
+        F.sum("nt").alias("n_tile_refs"), F.max("nt").alias("max_tiles_per_image")
+    )
+    distinct = (
+        refs.select("z", (F.col("tx") * F.lit(1 << 32).cast("long") + F.col("ty")).alias("tk"))
+        .distinct()
+        .groupBy("z")
+        .agg(F.count(F.lit(1)).alias("n_distinct_tiles"))
+    )
+    return (
+        per_zoom.join(distinct, "z")
+        .select(
+            F.col("z").cast("int").alias("zoom"),
+            "n_tile_refs",
+            "n_distinct_tiles",
+            "max_tiles_per_image",
+        )
+        .orderBy("zoom")
+    )
+
+
+# --- image pyramid: 2× box-filter downsample levels, decode-backed -------------
+
+N_PYR_IMGS = 100
+PYR_LEVELS = 2  # level 0 = native decode, levels 1..2 = 2× floor-average
+
+# Symbolic replay: level-1 pixel = floor(mean of its 2×2 original block),
+# level-2 = floor(mean of its 2×2 level-1 block) — nested integer floors,
+# exactly the engine kernel's arithmetic, over the generator formulas.
+_PYR_SQL = f"""
+WITH imgs AS (
+  SELECT i, (i * 2654435761) % 251 AS base,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h
+  FROM (SELECT range AS i FROM range(0, {N_PYR_IMGS}))
+),
+px AS (
+  SELECT i, base, x.range AS x, y.range AS y
+  FROM imgs, range(0, 128) x, range(0, 128) y
+  WHERE x.range < w AND y.range < h
+),
+l0 AS (
+  SELECT i, x, y,
+         (base + 3 * x + 5 * y) % 256 AS r,
+         (base * 7 + 11 * x + 2 * y + (x * y) % 17) % 256 AS g,
+         (base * 13 + x // 2 + 7 * y) % 256 AS b
+  FROM px
+),
+l1 AS (
+  SELECT i, x // 2 AS x, y // 2 AS y,
+         SUM(r) // 4 AS r, SUM(g) // 4 AS g, SUM(b) // 4 AS b
+  FROM l0 GROUP BY 1, 2, 3
+),
+l2 AS (
+  SELECT i, x // 2 AS x, y // 2 AS y,
+         SUM(r) // 4 AS r, SUM(g) // 4 AS g, SUM(b) // 4 AS b
+  FROM l1 GROUP BY 1, 2, 3
+),
+stacked AS (
+  SELECT 0 AS level, * FROM l0
+  UNION ALL SELECT 1, * FROM l1
+  UNION ALL SELECT 2, * FROM l2
+),
+chan AS (
+  SELECT level, 'r' AS channel, r AS v FROM stacked
+  UNION ALL SELECT level, 'g', g FROM stacked
+  UNION ALL SELECT level, 'b', b FROM stacked
+)
+SELECT CAST(level AS INTEGER) AS level, channel,
+       COUNT(*) AS n_px, CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
+FROM chan GROUP BY level, channel ORDER BY level, channel
+"""
+
+
+@query("image_pyramid_stats", oracle=_PYR_SQL)
+def image_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview-pyramid build check — every tile server / COG writer
+    maintains 2× box-filtered overview levels; this decodes the REAL image
+    bytes, builds two floor-average levels per image with one vectorized
+    reshape-sum per level, and reduces to per-(level, channel) corpus
+    stats. The DuckDB oracle replays the nested integer floors
+    symbolically, so one wrong byte in any decoded pixel (or one
+    off-by-one in the block arithmetic) shifts a sum.
+
+    Scale shape: pyramid construction is embarrassingly parallel per image
+    inside the Arrow kernel; the exchange carries 9 stat rows per image
+    (pre-reduced further by Catalyst's partial agg), never pixels."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_PYR_IMGS)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                lvl_px = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                for lvl in range(PYR_LEVELS + 1):
+                    if lvl > 0:
+                        h, w, _ = lvl_px.shape
+                        lvl_px = (
+                            lvl_px.reshape(h // 2, 2, w // 2, 2, 3).sum(axis=(1, 3))
+                            // 4
+                        )
+                    for ci, ch in enumerate("rgb"):
+                        c = lvl_px[..., ci]
+                        rows.append(
+                            (lvl, ch, int(c.size), int(c.sum()), int(c.min()), int(c.max()))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["level", "channel", "n_px", "sum_v", "min_v", "max_v"]
+            )
+
+    return (
+        imgs.mapInPandas(
+            kernel, "level int, channel string, n_px long, sum_v long, min_v long, max_v long"
+        )
+        .groupBy("level", "channel")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .orderBy("level", "channel")
+    )

@@ -393,3 +393,26 @@ def test_round3g_batch2_ops_stay_clean(spark, qname):
     assert "BatchEvalPython" not in plan
     body = plan.split("== Physical Plan ==")[-1]
     assert "SinglePartition" not in body
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "spatial_str_pack",
+        "spatial_quadtree_partition",
+        "raster_zonal_stats",
+        "raster_tile_cover",
+        "image_pyramid_stats",
+    ],
+)
+def test_round3h_partitioners_stay_distributed(spark, qname):
+    """STR's global rank must NOT be a single-partition sort (that is the
+    exact shape the distributed range-rank replaces); the quadtree is
+    explode → partial-agg → self-join; zonal stats decode in Arrow kernels
+    only (MapInPandas, never BatchEvalPython) and the per-zone reduce is
+    an ordinary hash aggregate."""
+    plan = _plan(QUERIES[qname](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    body = plan.split("== Physical Plan ==")[-1]
+    assert "SinglePartition" not in body
