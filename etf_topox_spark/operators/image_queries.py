@@ -1669,3 +1669,129 @@ def image_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level", "channel")
     )
+
+
+# --- integral image (summed-area table) box-filter sums -------------------------
+
+N_SAT_IMGS = 100
+SAT_K = 4  # deterministic query boxes per image
+
+# Box k over image i (size w×h): side lengths alternate 8/16 px, anchor
+# walks a deterministic integer lattice that always fits inside the image.
+# All integer arithmetic — DuckDB replays the same boxes exactly, summing
+# the generator formulas directly over the box extent (no SAT needed on
+# the oracle side; the SAT is the engine's O(1)-per-box evaluation trick).
+_SAT_SQL = f"""
+WITH imgs AS (
+  SELECT i, (i * 2654435761) % 251 AS base,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h
+  FROM (SELECT range AS i FROM range(0, {N_SAT_IMGS}))
+),
+boxes AS (
+  SELECT i, base, w, h, k.range AS k,
+         CAST(8 * (1 + (k.range % 2)) AS BIGINT) AS bw,
+         CAST(8 * (1 + ((k.range + 1) % 2)) AS BIGINT) AS bh
+  FROM imgs, range(0, {SAT_K}) k
+),
+anchored AS (
+  SELECT i, base, k, bw, bh,
+         (i * 7 + k * 31) % (w - bw) AS x0,
+         (i * 5 + k * 17) % (h - bh) AS y0
+  FROM boxes
+),
+px AS (
+  SELECT a.i, a.k, a.base,
+         a.x0 + dx.range AS x, a.y0 + dy.range AS y
+  FROM anchored a, range(0, 16) dx, range(0, 16) dy
+  WHERE dx.range < a.bw AND dy.range < a.bh
+),
+chan AS (
+  SELECT k, 'r' AS channel, (base + 3 * x + 5 * y) % 256 AS v FROM px
+  UNION ALL
+  SELECT k, 'g', (base * 7 + 11 * x + 2 * y + (x * y) % 17) % 256 FROM px
+  UNION ALL
+  SELECT k, 'b', (base * 13 + x // 2 + 7 * y) % 256 FROM px
+)
+SELECT CAST(k AS INTEGER) AS box_id, channel,
+       CAST(COUNT(*) AS BIGINT) AS n_px, CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(v) AS BIGINT) AS min_v, CAST(MAX(v) AS BIGINT) AS max_v
+FROM chan GROUP BY box_id, channel ORDER BY box_id, channel
+"""
+
+
+@query("image_integral_boxsum", oracle=_SAT_SQL)
+def image_integral_boxsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Summed-area-table box sums — the O(1) box-filter primitive behind
+    Viola-Jones features, raster zonal means and blur pyramids (Crow 1984,
+    public): decode the REAL image bytes once, build a per-channel int64
+    integral image, and answer each deterministic query box with 4 corner
+    lookups instead of bw·bh pixel reads.
+
+    The DuckDB oracle sums the generator formulas directly over each box
+    extent, so it checks BOTH the decode fidelity and the SAT corner
+    algebra — one wrong prefix-sum cell or off-by-one box bound shifts a
+    sum.
+
+    Scale shape: decode + SAT + K lookups are one map-side Arrow kernel
+    per image (the SAT never leaves the worker, the exchange carries
+    K·3 stat rows per image, pre-reduced again by Catalyst's partial
+    agg); the final per-(box, channel) reduce is an ordinary hash agg."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_SAT_IMGS)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                i = int(r.image_id[4:])
+                px = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w, _ = px.shape
+                # padded SAT: S[y, x] = sum of px[:y, :x]
+                sat = np.zeros((h + 1, w + 1, 3), dtype=np.int64)
+                np.cumsum(np.cumsum(px, axis=0), axis=1, out=sat[1:, 1:])
+                for k in range(SAT_K):
+                    bw = 8 * (1 + (k % 2))
+                    bh = 8 * (1 + ((k + 1) % 2))
+                    x0 = (i * 7 + k * 31) % (w - bw)
+                    y0 = (i * 5 + k * 17) % (h - bh)
+                    x1, y1 = x0 + bw, y0 + bh
+                    box = (
+                        sat[y1, x1] - sat[y0, x1] - sat[y1, x0] + sat[y0, x0]
+                    )
+                    blk = px[y0:y1, x0:x1]
+                    for ci, ch in enumerate("rgb"):
+                        rows.append(
+                            (
+                                k,
+                                ch,
+                                bw * bh,
+                                int(box[ci]),
+                                int(blk[..., ci].min()),
+                                int(blk[..., ci].max()),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows, columns=["box_id", "channel", "n_px", "sum_v", "min_v", "max_v"]
+            )
+
+    return (
+        imgs.mapInPandas(
+            kernel,
+            "box_id int, channel string, n_px long, sum_v long, min_v long, max_v long",
+        )
+        .groupBy("box_id", "channel")
+        .agg(
+            F.sum("n_px").alias("n_px"),
+            F.sum("sum_v").alias("sum_v"),
+            F.min("min_v").alias("min_v"),
+            F.max("max_v").alias("max_v"),
+        )
+        .orderBy("box_id", "channel")
+    )

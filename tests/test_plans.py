@@ -403,6 +403,7 @@ def test_round3g_batch2_ops_stay_clean(spark, qname):
         "raster_zonal_stats",
         "raster_tile_cover",
         "image_pyramid_stats",
+        "image_integral_boxsum",
     ],
 )
 def test_round3h_partitioners_stay_distributed(spark, qname):

@@ -251,3 +251,51 @@ def test_image_pyramid_matches_numpy(spark):
     per_level = got.groupby("level")["n_px"].first()
     for lvl in range(1, PYR_LEVELS + 1):
         assert per_level[lvl] * 4 == per_level[lvl - 1]
+
+
+def test_image_integral_boxsum_matches_bruteforce(spark):
+    """SAT corner algebra == direct numpy box sums over the generator
+    pixels, aggregated the same way (and n_px is constant 128·N per box:
+    every box is 8×16 or 16×8)."""
+    from etf_topox_spark.operators.image_queries import (
+        N_SAT_IMGS,
+        SAT_K,
+        image_integral_boxsum,
+    )
+    from etf_topox_spark.sources.images import image_meta, image_pixels
+
+    got = (
+        image_integral_boxsum(spark, SF)
+        .toPandas()
+        .set_index(["box_id", "channel"])
+        .sort_index()
+    )
+    acc = {}
+    for i in range(N_SAT_IMGS):
+        w, h, _, _ = image_meta(i)
+        px = image_pixels(i, w, h).astype(np.int64)
+        for k in range(SAT_K):
+            bw = 8 * (1 + (k % 2))
+            bh = 8 * (1 + ((k + 1) % 2))
+            x0 = (i * 7 + k * 31) % (w - bw)
+            y0 = (i * 5 + k * 17) % (h - bh)
+            blk = px[y0 : y0 + bh, x0 : x0 + bw]
+            for ci, ch in enumerate("rgb"):
+                c = blk[..., ci]
+                n, s, mn, mx = acc.get((k, ch), (0, 0, 256, -1))
+                acc[(k, ch)] = (
+                    n + c.size,
+                    s + int(c.sum()),
+                    min(mn, int(c.min())),
+                    max(mx, int(c.max())),
+                )
+    assert len(got) == 3 * SAT_K
+    for (k, ch), (n, s, mn, mx) in acc.items():
+        row = got.loc[(k, ch)]
+        assert (int(row.n_px), int(row.sum_v), int(row.min_v), int(row.max_v)) == (
+            n,
+            s,
+            mn,
+            mx,
+        )
+        assert n == 128 * N_SAT_IMGS
