@@ -1561,8 +1561,8 @@ def raster_tile_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- image pyramid: 2× box-filter downsample levels, decode-backed -------------
 
-N_PYR_IMGS = 100
-PYR_LEVELS = 2  # level 0 = native decode, levels 1..2 = 2× floor-average
+N_PYRSTAT_IMGS = 100
+PYRSTAT_LEVELS = 2  # level 0 = native decode, levels 1..2 = 2× floor-average
 
 # Symbolic replay: level-1 pixel = floor(mean of its 2×2 original block),
 # level-2 = floor(mean of its 2×2 level-1 block) — nested integer floors,
@@ -1572,7 +1572,7 @@ WITH imgs AS (
   SELECT i, (i * 2654435761) % 251 AS base,
          CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
          CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h
-  FROM (SELECT range AS i FROM range(0, {N_PYR_IMGS}))
+  FROM (SELECT range AS i FROM range(0, {N_PYRSTAT_IMGS}))
 ),
 px AS (
   SELECT i, base, x.range AS x, y.range AS y
@@ -1631,7 +1631,7 @@ def image_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etf_topox_spark.functions import image_codec as IC
 
-    imgs = synthetic_images(spark, N_PYR_IMGS)
+    imgs = synthetic_images(spark, N_PYRSTAT_IMGS)
 
     def kernel(batches):
         for pdf in batches:
@@ -1640,7 +1640,7 @@ def image_pyramid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 lvl_px = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
-                for lvl in range(PYR_LEVELS + 1):
+                for lvl in range(PYRSTAT_LEVELS + 1):
                     if lvl > 0:
                         h, w, _ = lvl_px.shape
                         lvl_px = (

@@ -223,18 +223,18 @@ def test_cms_one_sided_error_and_topk(spark):
 
 def test_image_pyramid_matches_numpy(spark):
     from etf_topox_spark.operators.image_queries import (
-        N_PYR_IMGS,
-        PYR_LEVELS,
+        N_PYRSTAT_IMGS,
+        PYRSTAT_LEVELS,
         image_pyramid_stats,
     )
     from etf_topox_spark.sources.images import image_meta, image_pixels
 
     got = image_pyramid_stats(spark, SF).toPandas()
     acc = {}
-    for i in range(N_PYR_IMGS):
+    for i in range(N_PYRSTAT_IMGS):
         w, h, _, _ = image_meta(i)
         px = image_pixels(i, w, h).astype(np.int64)
-        for lvl in range(PYR_LEVELS + 1):
+        for lvl in range(PYRSTAT_LEVELS + 1):
             if lvl > 0:
                 hh, ww, _ = px.shape
                 px = px.reshape(hh // 2, 2, ww // 2, 2, 3).sum(axis=(1, 3)) // 4
@@ -246,10 +246,10 @@ def test_image_pyramid_matches_numpy(spark):
     for r in got.itertuples():
         n, s, mn, mx = acc[(int(r.level), r.channel)]
         assert (int(r.n_px), int(r.sum_v), int(r.min_v), int(r.max_v)) == (n, s, mn, mx)
-    assert len(got) == 3 * (PYR_LEVELS + 1)
+    assert len(got) == 3 * (PYRSTAT_LEVELS + 1)
     # each level quarters the pixel count exactly (all fixture dims % 4 == 0)
     per_level = got.groupby("level")["n_px"].first()
-    for lvl in range(1, PYR_LEVELS + 1):
+    for lvl in range(1, PYRSTAT_LEVELS + 1):
         assert per_level[lvl] * 4 == per_level[lvl - 1]
 
 
