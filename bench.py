@@ -226,7 +226,11 @@ def host_health_probe() -> dict:
     }
 
 
-def wait_for_healthy_host(max_wait_sec: float = 600.0) -> dict:
+def wait_for_healthy_host(
+    max_wait_sec: float = 600.0,
+    max_steal: float = 5.0,
+    min_mt_gflops: float = 120.0,
+) -> dict:
     """Probe host health and, if the box is in a bad window (steal time or a
     co-tenant burning the machine), wait it out — up to max_wait_sec — before
     letting a scaling trial start. Thresholds from the round-2/3 calibration:
@@ -239,7 +243,7 @@ def wait_for_healthy_host(max_wait_sec: float = 600.0) -> dict:
     deadline = time.time() + max_wait_sec
     while True:
         h = host_health_probe()
-        h["healthy"] = h["steal_pct"] <= 5.0 and h["mt_gflops"] >= 120.0
+        h["healthy"] = h["steal_pct"] <= max_steal and h["mt_gflops"] >= min_mt_gflops
         if h["healthy"] or time.time() >= deadline:
             return h
         time.sleep(30)
@@ -437,9 +441,66 @@ def main() -> None:
         )
         return
 
-    res = run_suite(CPUS)
-    res["env"] = host_health_probe()
-    print(json.dumps(res))
+    if "--json-only" in sys.argv:
+        # single ungated measurement (the scaling harness and the gated
+        # orchestrator below call this; probes are attached by the caller)
+        res = run_suite(CPUS)
+        res["env"] = host_health_probe()
+        print(json.dumps(res))
+        return
+
+    # Default per-round path: HEALTH-GATED (VERDICT r3 "Next round" #2 —
+    # BENCH_r03.json published a measurement from a window the repo's own
+    # gate forbids: steal 6.7%, 151 mt GFLOPS vs the healthy pool's 289–365).
+    # Protocol: probe FIRST and wait out bad windows; run the suite in a
+    # fresh subprocess; accept the run only if BOTH the pre-probe and the
+    # in-run post-probe pass (steal ≤5% AND mt ≥250 GFLOPS, the calibrated
+    # healthy-pool floor); otherwise retry. If every attempt lands in a bad
+    # window, publish the fastest attempt annotated health_gate=FAILED-GATE
+    # with all probes attached, so a contaminated number can never again
+    # masquerade as a clean one.
+    gate_steal = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_STEAL", "5.0"))
+    gate_mt = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_MT", "250.0"))
+    gate_wait = float(os.environ.get("SPARK_GRAFT_BENCH_GATE_WAIT", "300"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+
+    def _ok(h: dict) -> bool:
+        return h["steal_pct"] <= gate_steal and h["mt_gflops"] >= gate_mt
+
+    attempts: list[dict] = []
+    chosen = None
+    for i in range(max_attempts):
+        pre = wait_for_healthy_host(
+            max_wait_sec=gate_wait, max_steal=gate_steal, min_mt_gflops=gate_mt
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--json-only"],
+            env=dict(os.environ),
+            capture_output=True,
+            text=True,
+            timeout=3600,
+        )
+        lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+        if not lines:
+            sys.stderr.write(out.stderr[-2000:] + "\n")
+            raise RuntimeError("bench subprocess produced no JSON line")
+        r = json.loads(lines[-1])
+        r["gate_pre"] = pre
+        r["health_gate"] = "PASS" if (_ok(pre) and _ok(r["env"])) else "FAILED-GATE"
+        attempts.append(r)
+        if r["health_gate"] == "PASS":
+            chosen = r
+            break
+    if chosen is None:
+        chosen = min(attempts, key=lambda a: a["value"])
+        chosen["health_gate"] = "FAILED-GATE"
+        chosen["gate_note"] = (
+            f"no attempt out of {len(attempts)} passed steal<={gate_steal}% "
+            f"and mt>={gate_mt} GFLOPS; fastest contaminated attempt shown; "
+            f"all probes: "
+            + json.dumps([{"pre": a["gate_pre"], "post": a["env"]} for a in attempts])
+        )
+    print(json.dumps(chosen))
 
 
 if __name__ == "__main__":

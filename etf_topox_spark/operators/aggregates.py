@@ -74,10 +74,24 @@ def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
 
 
-# --- A3: approximate count-distinct (HLL) — rows-only: sketch estimates
-# are engine-specific by construction (SURVEY.md §2.B A3) -----------------
+# --- A3: approximate count-distinct (HLL) — the sketch estimate itself is
+# engine-specific by construction (SURVEY.md §2.B A3), so the CONTRACT is
+# the error bound, not the estimate: the query returns the exact count
+# plus a within_tol flag asserting |est-exact|/exact ≤ 5% (2.5× the HLL++
+# rsd=0.02, comfortably inside the 3σ envelope), and the oracle recomputes
+# the exact count and pins within_tol = TRUE. If Spark's HLL ever drifts
+# past 5%, the value-hash goes red — the accuracy claim is driver-checked
+# every round instead of rows-only (VERDICT r3 "What's missing" #4). --------
 
-@query("agg_approx_distinct")
+@query(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_tol
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "events")
     return (
@@ -85,6 +99,14 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_tol"),
         )
         .orderBy("event_type")
     )
@@ -521,11 +543,11 @@ WITH s AS (
 ),
 w AS (
   SELECT l_suppkey, n, ok,
-         CAST(ok AS DOUBLE) / n AS p,
-         (CAST(ok AS DOUBLE) / n + 2.0 / n
+         ROUND(CAST(ok AS DOUBLE) / n, 12) AS p,
+         ROUND((CAST(ok AS DOUBLE) / n + 2.0 / n
           - 2.0 * sqrt((CAST(ok AS DOUBLE) / n) * (1 - CAST(ok AS DOUBLE) / n) / n
                        + 1.0 / (n * n)))
-           / (1 + 4.0 / n) AS wilson_lo
+           / (1 + 4.0 / n), 12) AS wilson_lo
   FROM s
 )
 SELECT l_suppkey, n, ok, p, wilson_lo
@@ -539,8 +561,12 @@ def supplier_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate (z = 2, ≈97.7%) — the canonical small-sample-honest rating sort:
     a supplier with 3/3 clean shipments must not outrank one with 95/100.
     Counts reduce map-side; the bound is one deterministic per-row IEEE
-    chain (sqrt is correctly rounded, so both engines agree bit-for-bit);
-    the top-100 is a tiny ordered limit over one row per supplier."""
+    chain, but raw last-ULP doubles proved fragile across contract runs
+    (VERDICT r3 §wrong #1: one driver-side hash mismatch that never
+    reproduced locally) — so both engines round p/wilson_lo to 12 dp,
+    which is far beyond any rating-sort consumer's precision and makes
+    the contract ULP-insensitive. The top-100 is a tiny ordered limit
+    over one row per supplier."""
     li = T(spark, sf_dir, "lineitem")
     s = li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n"),
@@ -552,7 +578,13 @@ def supplier_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2.0 * F.sqrt(p * (1 - p) / F.col("n") + 1.0 / (F.col("n") * F.col("n")))
     ) / (1 + 4.0 / F.col("n"))
     return (
-        s.select("l_suppkey", "n", "ok", p.alias("p"), wilson.alias("wilson_lo"))
+        s.select(
+            "l_suppkey",
+            "n",
+            "ok",
+            F.round(p, 12).alias("p"),
+            F.round(wilson, 12).alias("wilson_lo"),
+        )
         .orderBy(F.col("wilson_lo").desc(), "l_suppkey")
         .limit(100)
     )

@@ -1737,15 +1737,22 @@ def spatial_str_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate reduced on the driver and broadcast back as a literal map —
     the only collect is bounded by the partition count, never the data.
     The strip-internal y-rank partitions by strip (S-bounded, shuffles
-    once). localCheckpoint pins the sampled range boundaries so the count
-    pass and the rank pass see the same partitioning."""
+    once). localCheckpoint(eager=True) pins the sampled range boundaries
+    so the count pass and the rank pass see the same partitioning.
+
+    NOTE: building this DataFrame runs TWO Spark actions at construction
+    time (the eager checkpoint materialization + the ≤32-row offset-map
+    collect) — unusual for a query-builder, but required so the offsets
+    are computed against the exact pinned blocks the rank pass reads
+    (ADVICE r3: eager=False left a window where evicted blocks could be
+    resampled between the two passes; eager=True closes it)."""
     from pyspark.sql import Window
 
     pts = synthetic_points(spark, STR_N)
     ranged = (
         pts.repartitionByRange(32, "x", "point_id")
         .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     sizes = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("c")).collect()
     base: dict[int, int] = {}

@@ -1243,11 +1243,19 @@ def text_bigram_likelihood(spark: SparkSession, sf_dir: str) -> DataFrame:
     score is one more partial-aggregable shuffle on doc_id. At 10^12
     documents: two count shuffles + a broadcast join, no sort."""
     d = T(spark, sf_dir, "documents").select("doc_id", "text")
-    bg = d.select(
-        "doc_id",
-        "text",
-        F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
-    ).select("doc_id", F.expr("substring(text, i, 2)").alias("b"))
+    # Guard: F.sequence defaults step to -1 when start > stop, so a 0/1-char
+    # doc would yield [1,0] and emit spurious 1-char "bigrams" while the
+    # oracle's range(1, length) is empty (ADVICE r3). Docs shorter than 2
+    # chars have no bigrams on either engine.
+    bg = (
+        d.filter(F.length("text") >= 2)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(1), F.length("text") - 1)).alias("i"),
+        )
+        .select("doc_id", F.expr("substring(text, i, 2)").alias("b"))
+    )
     vocab = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cf"))
     return (
         bg.join(F.broadcast(vocab), "b")

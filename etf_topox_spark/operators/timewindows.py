@@ -412,7 +412,7 @@ st AS (SELECT event_type, COUNT(*) AS n, CAST(SUM(vi) AS BIGINT) AS s
 d AS (SELECT e.event_type, e.ts, e.event_id, st.n * e.vi - st.s AS dv
       FROM ev e JOIN st USING (event_type)),
 c1 AS (
-  SELECT event_type, ts,
+  SELECT event_type, ts, event_id,
          SUM(dv) OVER (PARTITION BY event_type ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM d
@@ -420,7 +420,7 @@ c1 AS (
 c2 AS (
   SELECT event_type, ts,
          cum - LEAST(CAST(0 AS BIGINT),
-                     MIN(cum) OVER (PARTITION BY event_type ORDER BY ts
+                     MIN(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
            AS cusum
   FROM c1
@@ -471,10 +471,16 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    c1 = d.select("event_type", "ts", F.sum("dv").over(wcum).alias("cum"))
+    # event_id rides through c1 so the running-min frame below shares the
+    # SAME total order (ts, event_id) as the cum window — with ts-only
+    # ordering, duplicate (event_type, ts) rows would make the ROWS-frame
+    # prefix-min nondeterministic on both engines (ADVICE r3).
+    c1 = d.select(
+        "event_type", "ts", "event_id", F.sum("dv").over(wcum).alias("cum")
+    )
     wmin = (
         W.partitionBy("event_type")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     c2 = c1.select(

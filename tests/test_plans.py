@@ -417,3 +417,22 @@ def test_round3h_partitioners_stay_distributed(spark, qname):
     assert "CartesianProduct" not in plan
     body = plan.split("== Physical Plan ==")[-1]
     assert "SinglePartition" not in body
+
+
+def test_plans_md_covers_every_query():
+    """PLANS.md staleness gate (VERDICT r3 'Next round' #3): the audit
+    artifact must have exactly one row per registered query — a new
+    query without a regenerated audit fails here, so the table can't
+    silently drift from the registry again."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLANS.md")
+    with open(path) as f:
+        txt = f.read()
+    audited = set(re.findall(r"^\| (\S+) \|", txt, flags=re.M)) - {"query", "---"}
+    registered = set(QUERIES)
+    missing = sorted(registered - audited)
+    stale = sorted(audited - registered)
+    assert not missing, f"queries missing from PLANS.md: {missing} (run tools/plan_audit.py)"
+    assert not stale, f"PLANS.md rows with no registered query: {stale} (run tools/plan_audit.py)"
