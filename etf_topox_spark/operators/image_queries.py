@@ -1795,3 +1795,86 @@ def image_integral_boxsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("box_id", "channel")
     )
+
+
+# --- augmentation kernels: flip / rot90 with position-sensitive checksums ----
+# The training-data augmentation pass (brief: decode / feature-extract /
+# resize / frame-sample): a REAL numpy hflip + rot90 over decoded pixels,
+# verified by POSITION-WEIGHTED checksums the oracle replays symbolically —
+# a transform that merely preserves pixel mass cannot pass:
+#   hflip_xr  = Σ x·R_hflip(x,y)  = Σ (w-1-x)·R(x,y)       (index remap)
+#   rot90_xg  = Σ x·G_rot90(x,y)  = Σ y·G(x,y)             (rot90 CCW:
+#               out[i2,j2] = in[j2, W-1-i2] ⇒ the x-weighted sum of the
+#               output equals the y-weighted sum of the input)
+#   sum_b     = Σ B(x,y)  (mass invariant under both transforms)
+# All exact int64; pixels never leave the kernel — 1 row per image.
+
+N_AUG_IMAGES = 240
+
+_AUG_SQL = f"""
+WITH par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_AUG_IMAGES})) AS i)
+),
+px AS (SELECT i, w, h, base, unnest(range(w * h)) AS p FROM par),
+terms AS (
+  SELECT i,
+         (w - 1 - (p % w)) * ((base + 3 * (p % w) + 5 * (p // w)) % 256) AS t_hflip,
+         (p // w) * ((base * 7 + 11 * (p % w) + 2 * (p // w) + ((p % w) * (p // w)) % 17) % 256) AS t_rot,
+         ((base * 13 + (p % w) // 2 + 7 * (p // w)) % 256) AS t_b
+  FROM px
+)
+SELECT printf('img-%012d', i) AS image_id,
+       CAST(SUM(t_hflip) AS BIGINT) AS hflip_xr,
+       CAST(SUM(t_rot) AS BIGINT) AS rot90_xg,
+       CAST(SUM(t_b) AS BIGINT) AS sum_b
+FROM terms GROUP BY i ORDER BY image_id
+"""
+
+
+@query("image_augment_stats", oracle=_AUG_SQL)
+def image_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmentation kernel audit: decode each image, apply REAL
+    np.fliplr / np.rot90, and emit position-weighted channel checksums
+    that the DuckDB oracle re-derives symbolically from the pixel
+    generator + the index-remap algebra above. Map-only Arrow kernel
+    (zero shuffle before the 1-row-per-image agg exchange); at 10^12
+    images this is the same scan-shaped pass as every decode op here —
+    the augmented bytes would be written straight to the sink, never
+    shuffled."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_AUG_IMAGES)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                h, w, _ = img.shape
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                hflip = np.fliplr(img)
+                rot = np.rot90(img)  # CCW, shape (w, h, 3)
+                xs_rot = np.arange(rot.shape[1], dtype=np.int64)[None, :]
+                rows.append(
+                    (
+                        r.image_id,
+                        int((xs * hflip[:, :, 0]).sum()),
+                        int((xs_rot * rot[:, :, 1]).sum()),
+                        int(img[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "hflip_xr", "rot90_xg", "sum_b"]
+            )
+
+    return imgs.mapInPandas(
+        kernel, "image_id string, hflip_xr long, rot90_xg long, sum_b long"
+    ).orderBy("image_id")

@@ -1591,3 +1591,163 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("degree"))
         .orderBy("node")
     )
+
+
+# --------------------------------------------------------------------------
+# Label propagation community detection (synchronous, deterministic)
+# --------------------------------------------------------------------------
+
+LPA_N = 4_000     # node universe (co-purchase graph at sf0.01 → dense enough)
+LPA_ROUNDS = 3    # fixed synchronous rounds (static plan, like PageRank/SSSP)
+
+
+def _lpa_sql() -> str:
+    """Unrolled synchronous-LPA CTE chain. Each round: count neighbor
+    labels per node, keep the (count DESC, label ASC) argmax — the
+    deterministic tie rule both engines implement identically in integer
+    arithmetic. MATERIALIZED stops the exponential CTE re-inline."""
+    parts = [
+        f"""WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {LPA_N} AS u, l_partkey % {LPA_N} AS v
+  FROM lineitem WHERE l_linenumber <= 2
+),
+edges AS MATERIALIZED (
+  SELECT u AS src, v AS dst FROM e0 WHERE u <> v
+  UNION
+  SELECT v, u FROM e0 WHERE u <> v
+),
+l0 AS MATERIALIZED (
+  SELECT DISTINCT src AS node, src AS lbl FROM edges
+)"""
+    ]
+    for t in range(LPA_ROUNDS):
+        parts.append(
+            f""",
+c{t} AS MATERIALIZED (
+  SELECT e.src AS node, l.lbl, COUNT(*) AS cnt
+  FROM edges e JOIN l{t} l ON l.node = e.dst
+  GROUP BY 1, 2
+),
+l{t + 1} AS MATERIALIZED (
+  SELECT node, lbl FROM (
+    SELECT node, lbl,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY cnt DESC, lbl ASC) AS rn
+    FROM c{t}
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT lbl AS community, COUNT(*) AS n_members, MIN(node) AS min_node
+FROM l{LPA_ROUNDS} GROUP BY lbl HAVING COUNT(*) >= 2
+ORDER BY n_members DESC, community LIMIT 50"""
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_sql())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation ({LPA_ROUNDS}
+    fixed rounds over the co-purchase graph): every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors, ties to the smallest label — the classic Raghavan-style LPA
+    made deterministic (synchronous update + total tie order), so both
+    engines converge to the identical labeling with pure integer
+    arithmetic.
+
+    Scale shape: one labels⋈edges equi-join + one (node, lbl) count agg +
+    one per-node argmax window per round — every exchange keys on the node
+    id, the edge table is built once and localCheckpoint keeps lineage
+    flat (the SSSP/kcore pattern). At 10^9 edges the argmax window
+    partitions by node (never global); the label table is the only state,
+    one row per node. Returns communities of size ≥ 2 (top 50) so the
+    result is a stable, bounded summary."""
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") <= 2)
+    e0 = (
+        li.select(
+            (F.col("l_orderkey") % LPA_N).alias("u"),
+            (F.col("l_partkey") % LPA_N).alias("v"),
+        )
+        .distinct()
+        .filter(F.col("u") != F.col("v"))
+    )
+    edges = (
+        e0.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .union(e0.select(F.col("v"), F.col("u")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w_arg = W.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("lbl").asc())
+    for _ in range(LPA_ROUNDS):
+        neigh = (
+            edges.join(
+                labels.select(F.col("node").alias("dst"), "lbl"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            neigh.withColumn("rn", F.row_number().over(w_arg))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(F.count(F.lit(1)).alias("n_members"), F.min("node").alias("min_node"))
+        .filter(F.col("n_members") >= 2)
+        .orderBy(F.col("n_members").desc(), "community")
+        .limit(50)
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-stratum bottom-k sampling (the distributed reservoir)
+# --------------------------------------------------------------------------
+
+RESERVOIR_K = 50
+
+
+def _bottomk_sql() -> str:
+    return f"""
+SELECT event_type, event_id, user_id
+FROM (
+  SELECT event_type, event_id, user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY event_type
+           ORDER BY md5(CAST(event_id AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+                    event_id
+         ) AS rn
+  FROM events
+) WHERE rn <= {RESERVOIR_K}
+ORDER BY event_type, event_id
+"""
+
+
+@query("sample_bottomk_reservoir", oracle=_bottomk_sql())
+def sample_bottomk_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform k-per-group sampling as BOTTOM-K BY HASH — the
+    deterministic, mergeable equivalent of reservoir sampling: rank rows
+    inside each stratum by md5(event_id:user_id) and keep the k smallest.
+    Unlike an RNG reservoir, the sample is (a) reproducible across
+    retries/resumes, (b) partition-layout independent, and (c) mergeable —
+    bottom-k of a union is the bottom-k of each side's bottom-k, so at
+    10^12 rows each partition pre-reduces to k rows map-side before one
+    tiny per-group merge (Spark plans exactly that for the rank window
+    after AQE; the md5 ranking key is computed scan-side). The md5 hex
+    string compares identically in both engines."""
+    e = T(spark, sf_dir, "events")
+    key = F.md5(
+        F.concat_ws(":", F.col("event_id").cast("string"), F.col("user_id").cast("string"))
+    )
+    w = W.partitionBy("event_type").orderBy(key.asc(), F.col("event_id").asc())
+    return (
+        e.select("event_type", "event_id", "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RESERVOIR_K)
+        .select("event_type", "event_id", "user_id")
+        .orderBy("event_type", "event_id")
+    )

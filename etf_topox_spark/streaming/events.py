@@ -361,3 +361,93 @@ def streaming_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= TOPK_K)
         .orderBy("window_start", "rnk")
     )
+
+
+# --- T7b: watermarked stream-stream LEFT OUTER join ----------------------------
+
+# Outer null rows are watermark-gated: Spark emits a null-padded view only
+# once the GLOBAL watermark (min over both sides' watermarks = min(max view
+# ts, max click ts) − 30 min, millisecond precision) has passed the view's
+# match interval (view_ts + 240 min) — rows nearer the end of the replay
+# stay buffered forever (no more triggers advance the watermark), so the
+# exact closed form is: matched pairs (same as the inner join) UNION the
+# unmatched views with ts + 240min < wm. Calibrated empirically at sf0.001
+# AND sf0.01 (distinct per-side maxima pin min-vs-global and the −240
+# offset independently).
+_SS_LEFT_OUTER_ORACLE = """
+WITH wm AS (
+  SELECT LEAST(MAX(CASE WHEN event_type = 'view' THEN ts END),
+               MAX(CASE WHEN event_type = 'click' THEN ts END))
+         - INTERVAL 30 MINUTE AS w
+  FROM events
+),
+pairs AS (
+  SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+         epoch_us(c.ts) - epoch_us(v.ts) AS gap_us
+  FROM events v JOIN events c
+    ON c.user_id = v.user_id
+   AND v.event_type = 'view' AND c.event_type = 'click'
+   AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE
+),
+evicted AS (
+  SELECT v.event_id AS view_id, CAST(NULL AS BIGINT) AS click_id,
+         v.user_id, CAST(NULL AS BIGINT) AS gap_us
+  FROM events v, wm
+  WHERE v.event_type = 'view'
+    AND v.ts + INTERVAL 240 MINUTE < wm.w
+    AND NOT EXISTS (
+      SELECT 1 FROM events c
+      WHERE c.user_id = v.user_id AND c.event_type = 'click'
+        AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 240 MINUTE)
+)
+SELECT * FROM pairs
+UNION ALL SELECT * FROM evicted
+ORDER BY view_id, click_id
+"""
+
+
+@query("streaming_left_outer_join", oracle=_SS_LEFT_OUTER_ORACLE)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution WITH the misses: the stream-stream join as LEFT OUTER,
+    so views that never convert emit a null-padded row once the watermark
+    proves no click can still arrive — the shape every funnel/attribution
+    pipeline actually ships (the inner join silently drops non-converters).
+    State stays bounded exactly as in the inner variant; the only new
+    semantics is the watermark-gated null emission, whose closed form the
+    oracle pins (see _SS_LEFT_OUTER_ORACLE). At 10^12 events: identical
+    exchanges to the inner join (both sides hash-partition on user_id),
+    plus nothing — null emission is a state-store scan at watermark
+    advance, no extra shuffle."""
+    s = events_stream(spark, sf_dir)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "30 minutes")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "30 minutes")
+    )
+    j = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") <= F.col("view_ts") + F.expr("INTERVAL 240 MINUTES")),
+        "left_outer",
+    )
+    out = run_to_memory(j, f"ss_louter_{abs(hash(sf_dir)) % 10**6}", "append")
+    return out.select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
+    ).orderBy("view_id", "click_id")
