@@ -864,3 +864,133 @@ def pca_power_vector(e: DataFrame, iters: int) -> list[float]:
         nrm = math.sqrt(acc)
         v = [ud / nrm for ud in u]
     return v
+
+
+# --- product quantization (PQ) + asymmetric-distance search -----------------------
+
+PQ_M = 4        # subspaces (64-dim embeddings → 16 dims each)
+PQ_SUBDIM = 16
+PQ_KSUB = 16    # codewords per subspace → 4×4-bit codes, 16× compression
+#                 vs float32 (64·4 B → 4·0.5 B codes) — the memory math that
+#                 makes 10^12-vector ANN fit a cluster at all
+PQ_QUERIES = 8
+
+
+def _pq_oracle() -> str:
+    """DuckDB twin of the full PQ funnel. Codebooks are TRAINING-FREE by
+    construction (codeword j of subspace m = the slice of corpus vector j —
+    the deterministic seeding the IVF trainer also uses for init), so the
+    whole funnel — encode, distance tables, ADC — re-derives symbolically.
+    Every L2² is the in-order list fold (bit-exact vs F.aggregate); the
+    4-term ADC sum is an EXPLICIT m-ordered + chain (never a SUM aggregate,
+    whose accumulation order neither engine pins); ADC rounds to 12 dp on
+    both sides (the supplier_wilson lesson: never ship last-ULP doubles
+    through the contract)."""
+    terms = " + ".join(
+        f"MAX(CASE WHEN q.m = {m} THEN q.d2 END)" for m in range(PQ_M)
+    )
+    return f"""
+WITH emb AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m.range AS m,
+         e[m.range * {PQ_SUBDIM} + 1 : m.range * {PQ_SUBDIM} + {PQ_SUBDIM}] AS se
+  FROM emb, range(0, {PQ_M}) m
+),
+cw AS (SELECT vec_id AS code, m, se AS ce FROM sub WHERE vec_id < {PQ_KSUB}),
+dist AS (
+  SELECT s.vec_id, s.m, c.code,
+         list_aggregate(list_transform(list_zip(s.se, c.ce),
+                        x -> (x[1] - x[2]) * (x[1] - x[2])), 'sum') AS d2
+  FROM sub s JOIN cw c USING (m)
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT vec_id, m, code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS rn
+    FROM dist) WHERE rn = 1
+),
+qdist AS (SELECT vec_id AS query_id, m, code, d2 FROM dist WHERE vec_id < {PQ_QUERIES}),
+adc AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id, ROUND({terms}, 12) AS adc_dist
+  FROM codes c JOIN qdist q ON q.m = c.m AND q.code = c.code
+  WHERE c.vec_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, adc_dist, CAST(rn AS INTEGER) AS rn
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, neighbor_id) AS rn
+  FROM adc
+) WHERE rn <= {K}
+ORDER BY query_id, rn
+"""
+
+
+@query("ann_pq_topk", oracle=_pq_oracle())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the Jégou PQ/ADC pipeline): slice each
+    64-dim embedding into {PQ_M} subspaces, encode every corpus vector as
+    its nearest codeword per subspace (4-bit codes — 16× smaller than the
+    float vectors), then answer queries by ASYMMETRIC distance: one
+    16-entry distance table per (query, subspace), approx distance =
+    m-ordered sum of table lookups — the corpus floats are never touched
+    at query time.
+
+    Scale shape at 10^12 vectors: encoding is one broadcast join of the
+    tiny codebook ({PQ_M}·{PQ_KSUB} codewords) against the corpus slices
+    — map-side, one pass, emits 4 small ints per vector; the code table
+    (not the vectors) is what the search scans, and the per-query distance
+    tables are {PQ_M}·{PQ_KSUB} doubles broadcast with the probe. The
+    final top-k is a per-query window over ADC scores — the same bounded
+    rank every ANN variant here ends with. In-order folds + m-ordered ADC
+    chain keep the whole funnel bit-exact against the symbolic oracle."""
+    em = T(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    slices = F.array(
+        *[F.slice("e", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+    )
+    sub = em.select("vec_id", F.posexplode(slices).alias("m", "se"))
+    cw = sub.filter(F.col("vec_id") < PQ_KSUB).select(
+        F.col("vec_id").alias("code"), "m", F.col("se").alias("ce")
+    )
+    l2 = F.aggregate(
+        F.zip_with("se", "ce", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dist = sub.join(F.broadcast(cw), "m").select(
+        "vec_id", "m", "code", l2.alias("d2")
+    )
+    w_code = W.partitionBy("vec_id", "m").orderBy(F.col("d2").asc(), F.col("code").asc())
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w_code))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qdist = dist.filter(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "code", "d2"
+    )
+    adc_sum = None
+    for m in range(PQ_M):
+        term = F.max(F.when(F.col("m") == m, F.col("d2")))
+        adc_sum = term if adc_sum is None else adc_sum + term
+    adc = (
+        codes.join(F.broadcast(qdist), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.round(adc_sum, 12).alias("adc_dist"))
+    )
+    w_rank = W.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        adc.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= K)
+        .select("query_id", "neighbor_id", "adc_dist", "rn")
+        .orderBy("query_id", "rn")
+    )
