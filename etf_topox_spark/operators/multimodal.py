@@ -4,12 +4,13 @@ frame-sample as Arrow kernels over mapInPandas.
 
 Image ops are REAL (our numpy codecs decode them). Audio is REAL for
 RIFF/WAVE PCM — the pure-numpy parser in functions/audio_codec decodes the
-synthetic source's genuine WAV blobs; only compressed audio (MP3/AAC/Opus)
-raises NotImplementedError, inside the codec where it belongs. Video
-decoding has no codec in this container, so that kernel stays STUBBED
-exactly as the brief requires: the Spark-side plumbing (schema, batching,
-UDF signature) is real and tested against a deterministic fake decoder;
-passing `fake=False` raises NotImplementedError at the decode step.
+synthetic source's genuine WAV blobs. Video is REAL for uncompressed
+24-bit RIFF/AVI — the pure-numpy parser in functions/video_codec walks the
+container and unpacks bottom-up padded DIB frames. The only remaining
+stubs are compressed codecs themselves (MP3/AAC/Opus audio, MJPG/H264
+video): they raise NotImplementedError INSIDE the respective parser where
+the codec belongs — the Spark plumbing above is format-agnostic and fully
+exercised on real bytes.
 """
 
 from __future__ import annotations
@@ -31,7 +32,6 @@ AUDIO_SCHEMA = (
     "clip_id long, n_samples int, sample_rate int, n_channels int, "
     "rms double, peak double, zcr double"
 )
-FRAME_SCHEMA = "video_id long, frame_idx int, frame_bytes binary"
 
 
 def image_features(images: DataFrame) -> DataFrame:
@@ -124,29 +124,60 @@ def audio_features(clips: DataFrame) -> DataFrame:
     return clips.mapInPandas(kernel, AUDIO_SCHEMA)
 
 
-# --- video (STUB decode; real plumbing) ----------------------------------------
+# --- video (REAL uncompressed-AVI decode — functions/video_codec) -------------
 
-def video_frame_sample(videos: DataFrame, every: int = 10, fake: bool = True) -> DataFrame:
-    """videos(video_id long, video binary, n_frames int) → every-Nth frame
-    as a raw tile. Decode is a stub (no video codec in this container); the
-    fake decoder emits deterministic 32×32 frames so the partitioning /
-    batch-shape / schema plumbing is fully exercised."""
+VIDEO_STATS_SCHEMA = (
+    "video_id long, frame_idx int, fps int, "
+    "sum_r long, sum_g long, sum_b long, chk_r long, chk_g long, chk_b long"
+)
+
+
+def video_frame_stats(videos: DataFrame, every: int = 3) -> DataFrame:
+    """videos(video_id long, video binary) → every-Nth decoded frame's exact
+    per-channel pixel sums + position-weighted checksums
+    (weight = y*W + x + 1 — flips/stride-slips/channel-swaps all move it).
+
+    The decode step is REAL for the codec-free interchange: uncompressed
+    24-bit RIFF/AVI (DIB frames, bottom-up padded rows) via the pure-numpy
+    parser in functions/video_codec. Compressed streams (MJPG/H264) raise
+    NotImplementedError inside the parser — the only remaining stub is the
+    codec itself, never the Spark plumbing. Map-only Arrow kernel: blobs
+    never cross a shuffle, only the 9-ints-per-frame stats rows do."""
+
+    # driver-level import so cloudpickle captures avi_decode by value (the
+    # grading driver's workers don't have the repo on sys.path — see
+    # tests/test_worker_importability.py).
+    from etf_topox_spark.functions.video_codec import avi_decode
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                if not fake:
-                    raise NotImplementedError(
-                        "video decode requires a video codec (not in this "
-                        "container); wire a demuxer+decoder here at deploy"
+                frames, fps = avi_decode(bytes(r.video))
+                n, h, w, _ = frames.shape
+                weight = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                for f in range(0, n, every):
+                    px = frames[f].astype(np.int64)
+                    sums = px.sum(axis=(0, 1))
+                    chks = (px * weight[:, :, None]).sum(axis=(0, 1))
+                    rows.append(
+                        (int(r.video_id), f, int(fps),
+                         int(sums[0]), int(sums[1]), int(sums[2]),
+                         int(chks[0]), int(chks[1]), int(chks[2]))
                     )
-                for f in range(0, int(r.n_frames), every):
-                    frame = np.full((32, 32, 3), (int(r.video_id) * 31 + f) % 256, np.uint8)
-                    rows.append((int(r.video_id), f, IC.raw_encode(frame)))
-            yield pd.DataFrame(rows, columns=["video_id", "frame_idx", "frame_bytes"])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "video_id", "frame_idx", "fps",
+                    "sum_r", "sum_g", "sum_b", "chk_r", "chk_g", "chk_b",
+                ],
+            )
 
-    return videos.mapInPandas(kernel, FRAME_SCHEMA)
+    return videos.mapInPandas(kernel, VIDEO_STATS_SCHEMA)
 
 
 # --- driver queries --------------------------------------------------------------
@@ -171,16 +202,55 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(synthetic_audio(spark, 100)).orderBy("clip_id")
 
 
-@query("multimodal_video_frames")
+_N_VIDEOS = 24
+
+_VIDEO_ORACLE = """
+WITH v AS (
+  SELECT r.range AS video_id,
+         6 + (r.range % 4) * 2 AS n_frames,
+         10 + (r.range % 3) * 5 AS fps
+  FROM range(24) r
+),
+f AS (
+  SELECT v.video_id, v.fps, fr.range AS frame_idx
+  FROM v JOIN range(0, 12, 3) fr ON fr.range < v.n_frames
+),
+p AS (
+  SELECT f.video_id, f.fps, f.frame_idx,
+         (f.video_id * 37 + f.frame_idx * 11 + y.range * 5 + x.range * 3) AS base,
+         (y.range * 50 + x.range + 1) AS wt
+  FROM f CROSS JOIN range(34) y CROSS JOIN range(50) x
+)
+SELECT video_id, CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(fps AS INTEGER) AS fps,
+       SUM(base % 256) AS sum_r,
+       SUM((base + 71) % 256) AS sum_g,
+       SUM((base + 142) % 256) AS sum_b,
+       SUM((base % 256) * wt) AS chk_r,
+       SUM(((base + 71) % 256) * wt) AS chk_g,
+       SUM(((base + 142) % 256) * wt) AS chk_b
+FROM p
+GROUP BY video_id, frame_idx, fps
+ORDER BY video_id, frame_idx
+"""
+
+
+@query("multimodal_video_frames", oracle=_VIDEO_ORACLE)
 def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    videos = spark.range(40).select(
-        F.col("id").alias("video_id"),
-        F.lit(b"").alias("video"),
-        (F.lit(30) + (F.col("id") % 5) * 10).cast("int").alias("n_frames"),
-    )
+    """Decode REAL uncompressed-AVI blobs (pure-numpy RIFF/DIB parser — no
+    codec library), sample every 3rd frame, and report exact per-channel
+    pixel sums + position-weighted checksums per frame. The DuckDB oracle
+    replays the source's closed-form pixel recipe (sources/video.py) over
+    the 50×34 grid, so the encoder→container→decoder chain must be
+    pixel-perfect — including DIB row padding (stride 150→152) and
+    bottom-up row order — for the integer checksums to match.
+
+    Scale shape: map-only — AVI blobs never cross a shuffle; each frame
+    reduces to 9 ints inside the Arrow kernel before the (video_id)
+    aggregate-free projection. Decode-bound like image tiling."""
+    from etf_topox_spark.sources.video import synthetic_videos
+
     return (
-        video_frame_sample(videos)
-        .groupBy("video_id")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
-        .orderBy("video_id")
+        video_frame_stats(synthetic_videos(spark, _N_VIDEOS), every=3)
+        .orderBy("video_id", "frame_idx")
     )

@@ -1870,3 +1870,154 @@ def spatial_quadtree_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("leaf_level", "cell_x", "cell_y")
     )
+
+
+# --- Sutherland–Hodgman window clipping, pure Catalyst -------------------------
+# ST_ClipByBox2D / raster-window clipping as FOUR unrolled half-plane
+# passes over array<struct<x,y>> rings — every pass is one higher-order
+# zip_with+flatten expression (whole-stage codegen, zero Python, zero
+# shuffle), and the DuckDB oracle evaluates the IDENTICAL IEEE chain over
+# list_zip (positional z[1]/z[2] = the same p/q operand order), so areas
+# match bit-for-bit with no tolerance. Empty-after-clip rings short-circuit
+# (a CASE guards the rotation slice) and report area 0.
+
+_CLIP_X0, _CLIP_X1, _CLIP_Y0, _CLIP_Y1 = 4.0, 16.0, 4.0, 16.0
+_CLIP_PLANES = (
+    ("x", _CLIP_X0, True),
+    ("x", _CLIP_X1, False),
+    ("y", _CLIP_Y0, True),
+    ("y", _CLIP_Y1, False),
+)
+
+
+def _clip_stage_spark(pts: str, axis: str, c: float, keep_ge: bool) -> str:
+    op = ">=" if keep_ge else "<="
+    t = lambda v: f"({v}.{axis} {op} {c}D)"
+    if axis == "x":
+        inter = (
+            f"named_struct('x', CAST({c} AS DOUBLE), "
+            f"'y', p.y + (q.y - p.y) * ({c}D - p.x) / (q.x - p.x))"
+        )
+    else:
+        inter = (
+            f"named_struct('x', p.x + (q.x - p.x) * ({c}D - p.y) / (q.y - p.y), "
+            f"'y', CAST({c} AS DOUBLE))"
+        )
+    body = (
+        f"CASE WHEN {t('p')} AND {t('q')} THEN array(q) "
+        f"WHEN {t('p')} THEN array({inter}) "
+        f"WHEN {t('q')} THEN array({inter}, q) "
+        f"ELSE slice(array(q), 1, 0) END"
+    )
+    rot = f"concat(slice({pts}, 2, size({pts}) - 1), slice({pts}, 1, 1))"
+    return (
+        f"CASE WHEN size({pts}) = 0 THEN {pts} "
+        f"ELSE flatten(zip_with({pts}, {rot}, (p, q) -> {body})) END"
+    )
+
+
+def _clip_stage_duck(pts: str, axis: str, c: float, keep_ge: bool) -> str:
+    op = ">=" if keep_ge else "<="
+    t = lambda v: f"({v}['{axis}'] {op} {c})"
+    if axis == "x":
+        inter = (
+            f"{{'x': CAST({c} AS DOUBLE), "
+            f"'y': z[1]['y'] + (z[2]['y'] - z[1]['y'])"
+            f" * ({c} - z[1]['x']) / (z[2]['x'] - z[1]['x'])}}"
+        )
+    else:
+        inter = (
+            f"{{'x': z[1]['x'] + (z[2]['x'] - z[1]['x'])"
+            f" * ({c} - z[1]['y']) / (z[2]['y'] - z[1]['y']), "
+            f"'y': CAST({c} AS DOUBLE)}}"
+        )
+    body = (
+        f"CASE WHEN {t('z[1]')} AND {t('z[2]')} THEN [z[2]] "
+        f"WHEN {t('z[1]')} THEN [{inter}] "
+        f"WHEN {t('z[2]')} THEN [{inter}, z[2]] "
+        f"ELSE ([z[2]])[2:1] END"
+    )
+    zipped = (
+        f"flatten(list_transform("
+        f"list_zip({pts}, list_concat(({pts})[2:], ({pts})[1:1])), z -> {body}))"
+    )
+    return f"CASE WHEN len({pts}) = 0 THEN {pts} ELSE {zipped} END"
+
+
+def _clip_oracle() -> str:
+    struct_pts = (
+        "["
+        + ", ".join(f"{{'x': x{k}, 'y': y{k}}}" for k in range(4))
+        + "]"
+    )
+    e = "pts"
+    for axis, c, ge in _CLIP_PLANES:
+        e = _clip_stage_duck(e, axis, c, ge)
+    shoe = (
+        "COALESCE(list_aggregate(list_transform("
+        "list_zip(cp, list_concat(cp[2:], cp[1:1])), "
+        "z -> z[1]['x'] * z[2]['y'] - z[2]['x'] * z[1]['y']), 'sum'), 0.0) / 2.0"
+    )
+    orig = (
+        "(x0 * y1 - x1 * y0 + x1 * y2 - x2 * y1"
+        " + x2 * y3 - x3 * y2 + x3 * y0 - x0 * y3) / 2.0"
+    )
+    return f"""
+WITH q AS ({_quads_sql(N_QUADS)}),
+r AS (SELECT feature_id, {struct_pts} AS pts,
+             {orig} AS area_orig FROM q),
+c AS (SELECT feature_id, area_orig, {e} AS cp FROM r)
+SELECT feature_id, CAST(len(cp) AS INTEGER) AS n_clip,
+       {shoe} AS area_clip, area_orig
+FROM c ORDER BY feature_id
+"""
+
+
+@query("geom_clip_window", oracle=_clip_oracle())
+def geom_clip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clip every quad of the synthetic corpus to the fixed window
+    [{_CLIP_X0},{_CLIP_X1}]×[{_CLIP_Y0},{_CLIP_Y1}] with Sutherland–Hodgman
+    (four unrolled half-plane passes) and report the clipped vertex count
+    + shoelace area next to the original area — the raster-window /
+    tile-boundary clipping primitive (ST_ClipByBox2D) every tiled
+    geospatial pipeline runs before per-tile work.
+
+    Scale shape: ZERO shuffles — the entire clip is a chain of
+    higher-order array expressions (zip_with → CASE → flatten per plane)
+    fused into one whole-stage-codegen projection over the ring table;
+    at 10⁹ polygons this is scan-bound, exactly like geom_polygon_stats.
+    Convex clip windows guarantee Sutherland–Hodgman correctness for the
+    simple input rings; empty results short-circuit to area 0."""
+    i = F.col("id")
+
+    def ixd(mult: int, mod: int, div: float):
+        return ((i * mult) % mod).cast("double") / div
+
+    cols = [i.alias("feature_id")]
+    for c, bx, by, px, py in _QUAD_CORNERS:
+        cols.append((ixd(KX, M, DIV) + F.lit(bx) + ixd(px, 1000, 1000.0)).alias(f"x{c}"))
+        cols.append((ixd(KY, M, DIV) + F.lit(by) + ixd(py, 1000, 1000.0)).alias(f"y{c}"))
+    q = spark.range(0, N_QUADS).select(*cols)
+    struct_pts = (
+        "array(" + ", ".join(f"named_struct('x', x{k}, 'y', y{k})" for k in range(4)) + ")"
+    )
+    orig = (
+        "(x0 * y1 - x1 * y0 + x1 * y2 - x2 * y1"
+        " + x2 * y3 - x3 * y2 + x3 * y0 - x0 * y3) / 2.0"
+    )
+    r = q.selectExpr("feature_id", f"{struct_pts} AS pts", f"{orig} AS area_orig")
+    e = "pts"
+    for axis, c, ge in _CLIP_PLANES:
+        e = _clip_stage_spark(e, axis, c, ge)
+    clipped = r.selectExpr("feature_id", "area_orig", f"{e} AS cp")
+    shoe = (
+        "COALESCE(aggregate(zip_with(cp, "
+        "concat(slice(cp, 2, size(cp) - 1), slice(cp, 1, 1)), "
+        "(p, q) -> p.x * q.y - q.x * p.y), 0D, (a, v) -> a + v), 0D) / 2.0"
+    )
+    return clipped.selectExpr(
+        "feature_id",
+        "CAST(size(cp) AS INT) AS n_clip",
+        f"CASE WHEN size(cp) = 0 THEN 0.0D ELSE {shoe} END AS area_clip",
+        "area_orig",
+    ).orderBy("feature_id")
