@@ -66,7 +66,7 @@ def run_suite(cpus: str) -> dict:
         boundary_errors,
         interior_errors,
         intersection_errors,
-        ring_meta,
+        ring_meta_from_edges,
         rings_to_edges,
         undirected_edge_stats,
         validate_topology,
@@ -124,7 +124,7 @@ def run_suite(cpus: str) -> dict:
         n = (
             boundary_errors(stats)
             .unionByName(intersection_errors(ok, CELL, themes=["theme0"]))
-            .unionByName(interior_errors(ok, stats, ring_meta(rings)))
+            .unionByName(interior_errors(ok, stats, ring_meta_from_edges(edges)))
             .count()
         )
         return n

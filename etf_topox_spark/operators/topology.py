@@ -126,6 +126,36 @@ def ring_meta(rings: DataFrame) -> DataFrame:
     return rings.mapInPandas(kernel, RING_META_SCHEMA)
 
 
+def ring_meta_from_edges(edges: DataFrame) -> DataFrame:
+    """RING_META_SCHEMA derived from the (already checkpointed) edges frame
+    instead of a second pass over the rings source — pure Catalyst.
+
+    The packed h1 int64 IS the exact grid coordinate pair (R4:
+    xi<<32 | yi&mask with xi = rint(x·2^20)), so the int shoelace the
+    Python kernel computes is re-expressible as one partial-aggregated
+    JVM shuffle: area2 = Σ_edges (xi1·yi2 − xi2·yi1) over the ring's
+    directed edges, with the products in decimal(38,0) so absolute
+    (untranslated) grid coords cannot overflow — translation invariance of
+    the integer shoelace makes this bit-equal to ring_meta's translated
+    int64 form (pinned by tests/test_topology.py). min_x/min_y are plain
+    MIN aggregates over x1/y1 (every vertex of a closed ring starts
+    exactly one directed edge, so x1 ranges over all vertices).
+
+    Scale shape: ONE map-side-combinable exchange on the ring key,
+    carrying one row per ring — replaces re-running the rings
+    scan/generator plus a per-ring Python concat pass. Zero Python."""
+    d = "decimal(19,0)"
+    xi1 = F.shiftright(F.col("h1"), 32).cast(d)
+    yi1 = F.shiftright(F.shiftleft(F.col("h1"), 32), 32).cast(d)
+    xi2 = F.shiftright(F.col("h2"), 32).cast(d)
+    yi2 = F.shiftright(F.shiftleft(F.col("h2"), 32), 32).cast(d)
+    return edges.groupBy("theme", "feature_id", "ring_idx", "is_exterior").agg(
+        F.sum(xi1 * yi2 - xi2 * yi1).cast("long").alias("area2"),
+        F.min("x1").alias("min_x"),
+        F.min("y1").alias("min_y"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Stage B: duplicate / overlapping boundaries (R8) + boundary classes (R12)
 # --------------------------------------------------------------------------
@@ -1213,16 +1243,17 @@ def validate_topology(
     is the Theme session's name list (R2); when given, the edge-stats
     exchange dictionary-encodes the theme string (see
     undirected_edge_stats)."""
-    # edges feed four consumers (zero-length, stats, intersections,
-    # interiors): a lazy local checkpoint materializes the kernel output
-    # once instead of re-running the rings→edges pass per consumer
-    # rings feeds two kernel chains (edges, meta) — materialize the source
-    # once instead of re-running its scan/generator per chain
-    rings = rings.localCheckpoint(eager=False)
+    # edges feed five consumers (zero-length, stats, intersections,
+    # interiors, ring meta): a lazy local checkpoint materializes the
+    # kernel output once instead of re-running the rings→edges pass per
+    # consumer. rings now feeds ONLY that one kernel chain — per-ring meta
+    # is derived JVM-side from the checkpointed edges (ring_meta_from_edges,
+    # bit-equal to the Python pass: tests/test_topology.py), so the rings
+    # source is scanned exactly once and needs no checkpoint of its own.
     edges = rings_to_edges(rings, cell_size).localCheckpoint(eager=False)
     # meta feeds three consumers (free-standing feats + anchors, interior
     # orientation) — materialize the small per-ring frame once
-    meta = ring_meta(rings).localCheckpoint(eager=False)
+    meta = ring_meta_from_edges(edges).localCheckpoint(eager=False)
 
     zero = edges.filter(F.col("h1") == F.col("h2")).select(
         "theme",

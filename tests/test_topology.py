@@ -294,3 +294,43 @@ def test_intersection_sql_twin_cell_sizes(spark):
         a = arrow[key].sort_values(key).reset_index(drop=True)
         b = sql[key].sort_values(key).reset_index(drop=True)
         pd.testing.assert_frame_equal(a, b)
+
+
+def test_ring_meta_from_edges_bit_equal(spark):
+    """ring_meta_from_edges (pure-Catalyst decimal shoelace over the edges
+    frame) must reproduce ring_meta (the per-batch numpy kernel over the
+    rings source) bit-for-bit on every fixture family — translation
+    invariance of the integer shoelace is what makes the untranslated
+    decimal sum equal the kernel's min-translated int64 form."""
+    from etf_topox_spark.operators.topology import (
+        ring_meta,
+        ring_meta_from_edges,
+    )
+    from etf_topox_spark.sources.mosaic import DEFECTS
+
+    for defect in DEFECTS:
+        rings = surface_mosaic(spark, defect=defect, **GRID)
+        a = sorted(map(tuple, ring_meta(rings).collect()))
+        b = sorted(map(tuple, ring_meta_from_edges(rings_to_edges(rings)).collect()))
+        assert a == b, f"ring meta diverged for defect={defect}"
+
+
+def test_ring_meta_from_edges_is_pure_jvm(spark):
+    """The derived meta path must add ZERO Python stages beyond the single
+    rings→edges kernel: exactly one Arrow eval in the plan, and a
+    partial-aggregated (map-side combine) exchange for the per-ring sum."""
+    from etf_topox_spark.operators.topology import ring_meta_from_edges
+
+    def n_python(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan, sum(
+            plan.count(t)
+            for t in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython")
+        )
+
+    rings = surface_mosaic(spark, defect="valid_mosaic", **GRID)
+    edges = rings_to_edges(rings)
+    _, base = n_python(edges)  # generator + edges kernel
+    plan, total = n_python(ring_meta_from_edges(edges))
+    assert total == base, f"meta path added a Python stage, plan:\n{plan}"
+    assert "partial_sum" in plan, f"per-ring sum not map-side combined:\n{plan}"
