@@ -2021,3 +2021,242 @@ def geom_clip_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN size(cp) = 0 THEN 0.0D ELSE {shoe} END AS area_clip",
         "area_orig",
     ).orderBy("feature_id")
+
+
+# --- convex overlay: polygon x polygon intersection area join -----------------
+# The ST_Intersection(ST_Area(...)) overlay primitive generalized from the
+# fixed window above: each subject quad is clipped against the CONVEX
+# clipper polygon owning its anchor cell (a rotated diamond, one per unit
+# cell — think admin zones / antenna sectors / field parcels), via the same
+# Sutherland–Hodgman half-plane chain but with PER-ROW edge coordinates
+# (the clipper's corners ride in through a broadcast join) instead of
+# plane constants. Both engines evaluate the identical IEEE chain, so the
+# intersection areas value-hash bit-for-bit with no tolerance.
+
+_N_OCELLS = 23  # clipper grid: one diamond per unit cell of the [0,23)^2 domain
+
+
+def _diamond_sql(cx: str, cy: str) -> list[tuple[str, str]]:
+    """CCW diamond corner expressions for the clipper of cell (cx, cy) —
+    integer mod arithmetic + one division, identical text on both engines
+    (both parse `%` on BIGINT and CAST .. AS DOUBLE the same way)."""
+    ctr_x = f"(CAST({cx} AS DOUBLE) + 0.5)"
+    ctr_y = f"(CAST({cy} AS DOUBLE) + 0.5)"
+    r = [
+        f"(0.3 + CAST(({cx} * {m1} + {cy} * {m2}) % 13 AS DOUBLE) / 26.0)"
+        for m1, m2 in ((7, 11), (17, 5), (23, 3), (29, 19))
+    ]
+    return [
+        (f"({ctr_x} + {r[0]})", ctr_y),
+        (ctr_x, f"({ctr_y} + {r[1]})"),
+        (f"({ctr_x} - {r[2]})", ctr_y),
+        (ctr_x, f"({ctr_y} - {r[3]})"),
+    ]
+
+
+def _edge_stage_spark(pts: str, ax: str, ay: str, bx: str, by: str) -> str:
+    """One Sutherland–Hodgman half-plane pass against the directed clipper
+    edge (ax,ay)->(bx,by) of a CCW convex clipper (interior = left side).
+    Same shape as _clip_stage_spark but with column-expression endpoints."""
+    ex, ey = f"({bx} - {ax})", f"({by} - {ay})"
+
+    def inside(v: str) -> str:
+        return f"({ex} * ({v}.y - {ay}) - {ey} * ({v}.x - {ax}) >= 0D)"
+
+    t = (
+        f"((({ax} - p.x) * {ey} - ({ay} - p.y) * {ex})"
+        f" / ((q.x - p.x) * {ey} - (q.y - p.y) * {ex}))"
+    )
+    inter = (
+        f"named_struct('x', p.x + {t} * (q.x - p.x), "
+        f"'y', p.y + {t} * (q.y - p.y))"
+    )
+    body = (
+        f"CASE WHEN {inside('p')} AND {inside('q')} THEN array(q) "
+        f"WHEN {inside('p')} THEN array({inter}) "
+        f"WHEN {inside('q')} THEN array({inter}, q) "
+        f"ELSE slice(array(q), 1, 0) END"
+    )
+    rot = f"concat(slice({pts}, 2, size({pts}) - 1), slice({pts}, 1, 1))"
+    return (
+        f"CASE WHEN size({pts}) = 0 THEN {pts} "
+        f"ELSE flatten(zip_with({pts}, {rot}, (p, q) -> {body})) END"
+    )
+
+
+def _edge_stage_duck(pts: str, ax: str, ay: str, bx: str, by: str) -> str:
+    ex, ey = f"({bx} - {ax})", f"({by} - {ay})"
+
+    def inside(v: str) -> str:
+        return f"({ex} * ({v}['y'] - {ay}) - {ey} * ({v}['x'] - {ax}) >= 0)"
+
+    p, q = "z[1]", "z[2]"
+    t = (
+        f"((({ax} - {p}['x']) * {ey} - ({ay} - {p}['y']) * {ex})"
+        f" / (({q}['x'] - {p}['x']) * {ey} - ({q}['y'] - {p}['y']) * {ex}))"
+    )
+    inter = (
+        f"{{'x': {p}['x'] + {t} * ({q}['x'] - {p}['x']), "
+        f"'y': {p}['y'] + {t} * ({q}['y'] - {p}['y'])}}"
+    )
+    body = (
+        f"CASE WHEN {inside(p)} AND {inside(q)} THEN [{q}] "
+        f"WHEN {inside(p)} THEN [{inter}] "
+        f"WHEN {inside(q)} THEN [{inter}, {q}] "
+        f"ELSE ([{q}])[2:1] END"
+    )
+    zipped = (
+        f"flatten(list_transform("
+        f"list_zip({pts}, list_concat(({pts})[2:], ({pts})[1:1])), z -> {body}))"
+    )
+    return f"CASE WHEN len({pts}) = 0 THEN {pts} ELSE {zipped} END"
+
+
+def _overlay_oracle() -> str:
+    struct_pts = (
+        "[" + ", ".join(f"{{'x': x{k}, 'y': y{k}}}" for k in range(4)) + "]"
+    )
+    dia = _diamond_sql("ccx", "ccy")
+    ccols = ", ".join(
+        f"{dx} AS dax{k}, {dy} AS day{k}" for k, (dx, dy) in enumerate(dia)
+    )
+    zones = (
+        f"SELECT ccx, ccy, {ccols} FROM ("
+        f"SELECT (range // {_N_OCELLS}) AS ccx, (range % {_N_OCELLS}) AS ccy "
+        f"FROM range({_N_OCELLS * _N_OCELLS}))"
+    )
+    # one CTE per half-plane pass — textual nesting would grow the SQL
+    # ~6^4-fold (each stage references its input ring ~6 times); chained
+    # CTEs keep the statement linear, mirroring the Spark side's chained
+    # projections
+    dcols = ", ".join(f"dax{k}, day{k}" for k in range(4))
+    stage_ctes = ""
+    prev = "d"
+    for k in range(4):
+        stg = _edge_stage_duck(
+            "cp", f"dax{k}", f"day{k}", f"dax{(k + 1) % 4}", f"day{(k + 1) % 4}"
+        )
+        stage_ctes += (
+            f"c{k} AS (SELECT feature_id, area_subject, ccx, ccy, {dcols}, "
+            f"{stg} AS cp FROM {prev}),\n"
+        )
+        prev = f"c{k}"
+    shoe = (
+        "COALESCE(list_aggregate(list_transform("
+        "list_zip(cp, list_concat(cp[2:], cp[1:1])), "
+        "z -> z[1]['x'] * z[2]['y'] - z[2]['x'] * z[1]['y']), 'sum'), 0.0) / 2.0"
+    )
+    orig = (
+        "(x0 * y1 - x1 * y0 + x1 * y2 - x2 * y1"
+        " + x2 * y3 - x3 * y2 + x3 * y0 - x0 * y3) / 2.0"
+    )
+    return f"""
+WITH q AS ({_quads_sql(N_QUADS)}),
+s AS (SELECT feature_id, {struct_pts} AS pts, {orig} AS area_subject,
+             CAST(floor(x0) AS BIGINT) AS ccx, CAST(floor(y0) AS BIGINT) AS ccy
+      FROM q),
+z AS ({zones}),
+d AS (SELECT feature_id, pts AS cp, area_subject, ccx, ccy, {dcols}
+      FROM s JOIN z USING (ccx, ccy)),
+{stage_ctes}c AS (SELECT feature_id, area_subject, ccx, ccy, cp FROM c3)
+SELECT feature_id, CAST(ccx AS INTEGER) AS cell_x, CAST(ccy AS INTEGER) AS cell_y,
+       CAST(len(cp) AS INTEGER) AS n_clip,
+       CASE WHEN len(cp) = 0 THEN 0.0 ELSE {shoe} END AS area_int,
+       area_subject
+FROM c
+WHERE len(cp) >= 3
+ORDER BY feature_id
+"""
+
+
+@query("geom_overlay_intersect_area", oracle=_overlay_oracle())
+def geom_overlay_intersect_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convex overlay join (the ST_Intersection + ST_Area pairing every
+    parcel/zone overlay pipeline runs): each subject quad is clipped
+    against the convex diamond clipper owning its anchor cell, via
+    Sutherland–Hodgman with PER-ROW edge coordinates (four zip_with
+    half-plane passes whose plane is read from the joined clipper row, not
+    a constant), and reports the exact intersection area next to the
+    subject area. Degenerate (<3-vertex) clips are dropped — they carry
+    zero area by construction.
+
+    Scale shape: clipper dimension broadcasts (one row per cell — at
+    planet scale this is the zone table, Bloom-prunable); the clip chain
+    itself is a single whole-stage-codegen projection, ZERO shuffles
+    beyond the broadcast — at 10⁹ subjects this stays scan-bound. The
+    DuckDB oracle replays the IDENTICAL IEEE chain, so areas value-hash
+    bit-for-bit (no tolerance)."""
+    i = F.col("id")
+
+    def ixd(mult: int, mod: int, div: float):
+        return ((i * mult) % mod).cast("double") / div
+
+    cols = [i.alias("feature_id")]
+    for c, bx, by, px, py in _QUAD_CORNERS:
+        cols.append((ixd(KX, M, DIV) + F.lit(bx) + ixd(px, 1000, 1000.0)).alias(f"x{c}"))
+        cols.append((ixd(KY, M, DIV) + F.lit(by) + ixd(py, 1000, 1000.0)).alias(f"y{c}"))
+    q = spark.range(0, N_QUADS).select(*cols)
+    struct_pts = (
+        "array(" + ", ".join(f"named_struct('x', x{k}, 'y', y{k})" for k in range(4)) + ")"
+    )
+    orig = (
+        "(x0 * y1 - x1 * y0 + x1 * y2 - x2 * y1"
+        " + x2 * y3 - x3 * y2 + x3 * y0 - x0 * y3) / 2.0"
+    )
+    s = q.selectExpr(
+        "feature_id",
+        f"{struct_pts} AS pts",
+        f"{orig} AS area_subject",
+        "CAST(floor(x0) AS BIGINT) AS ccx",
+        "CAST(floor(y0) AS BIGINT) AS ccy",
+    )
+    dia = _diamond_sql("ccx", "ccy")
+    zones = (
+        spark.range(0, _N_OCELLS * _N_OCELLS)
+        .selectExpr(
+            f"id DIV {_N_OCELLS} AS ccx",
+            f"id % {_N_OCELLS} AS ccy",
+        )
+        .selectExpr(
+            "ccx",
+            "ccy",
+            *[
+                x
+                for k, (dx, dy) in enumerate(dia)
+                for x in (f"{dx} AS dax{k}", f"{dy} AS day{k}")
+            ],
+        )
+    )
+    d = s.join(F.broadcast(zones), ["ccx", "ccy"])
+    # One projection per half-plane pass: each stage references its input
+    # ring ~6 times, so textual nesting grows the expression tree ~6^4-fold
+    # (measured: driver OOM at plan/codegen time); materializing each pass
+    # as a named column keeps the tree linear — CollapseProject does not
+    # inline non-cheap expressions referenced more than once, so the four
+    # projections survive into the physical plan as a fused codegen chain.
+    keep = ["feature_id", "area_subject", "ccx", "ccy"] + [
+        f"da{ax}{k}" for k in range(4) for ax in ("x", "y")
+    ]
+    c = d.withColumnRenamed("pts", "cp")
+    for k in range(4):
+        stage = _edge_stage_spark(
+            "cp", f"dax{k}", f"day{k}", f"dax{(k + 1) % 4}", f"day{(k + 1) % 4}"
+        )
+        c = c.selectExpr(*keep, f"{stage} AS cp")
+    shoe = (
+        "COALESCE(aggregate(zip_with(cp, "
+        "concat(slice(cp, 2, size(cp) - 1), slice(cp, 1, 1)), "
+        "(p, q) -> p.x * q.y - q.x * p.y), 0D, (a, v) -> a + v), 0D) / 2.0"
+    )
+    return (
+        c.selectExpr(
+            "feature_id",
+            "CAST(ccx AS INT) AS cell_x",
+            "CAST(ccy AS INT) AS cell_y",
+            "CAST(size(cp) AS INT) AS n_clip",
+            f"CASE WHEN size(cp) = 0 THEN 0.0D ELSE {shoe} END AS area_int",
+            "area_subject",
+        )
+        .filter("n_clip >= 3")
+        .orderBy("feature_id")
+    )
