@@ -1878,3 +1878,305 @@ def image_augment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.mapInPandas(
         kernel, "image_id string, hflip_xr long, rot90_xg long, sum_b long"
     ).orderBy("image_id")
+
+
+# --- marching-squares contour cells (image x geospatial crossover) -------------
+#
+# Threshold the gray raster at T, classify every 2x2 pixel cell into its
+# marching-squares case (0..15), and reduce per image: contour-cell count,
+# segment count (saddle cases 5/10 carry two segments), and a
+# position-weighted case checksum that pins the exact case of every cell.
+# The vector-contour primitive of the image x geospatial graft: the case
+# map IS the iso-line topology a raster->vector stage would trace.
+
+CONTOUR_T = 128
+
+# bit order: b0=(x,y) b1=(x+1,y) b2=(x+1,y+1) b3=(x,y+1); case = b0+2b1+4b2+8b3
+_CONTOUR_SQL = f"""
+WITH par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_GRAD_IMAGES})) AS i)
+),
+px AS (SELECT i, base, w, h, unnest(range((w - 1) * (h - 1))) AS p FROM par),
+c AS (
+  SELECT i, base, (p % (w - 1)) AS x, (p // (w - 1)) AS y
+  FROM px
+),
+k AS (
+  SELECT i, x, y,
+         (CASE WHEN {_g_expr("x", "y")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x + 1", "y")} >= {CONTOUR_T} THEN 2 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x + 1", "y + 1")} >= {CONTOUR_T} THEN 4 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x", "y + 1")} >= {CONTOUR_T} THEN 8 ELSE 0 END)
+         AS cs
+  FROM c
+)
+SELECT printf('img-%012d', i) AS image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN cs NOT IN (0, 15) THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contour,
+       CAST(SUM(CASE WHEN cs IN (5, 10) THEN 2
+                     WHEN cs IN (0, 15) THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_segments,
+       CAST(SUM(cs * (x + 31 * y + 1)) AS BIGINT) AS case_checksum
+FROM k GROUP BY 1 ORDER BY image_id
+"""
+
+
+@query("image_contour_cells", oracle=_CONTOUR_SQL)
+def image_contour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares contour extraction over decoded rasters: threshold
+    the gray channel at CONTOUR_T, classify every 2x2 cell into its case
+    index (corner bits b0..b3 -> 0..15), and reduce per image to contour
+    cells, iso-line segment count (ambiguous saddles 5/10 emit two
+    segments), and a position-weighted checksum over the full case map —
+    one wrong bit in any cell's case flips the checksum, so the DuckDB
+    symbolic replay pins the whole contour topology, not just counts.
+
+    Scale shape: map-only Arrow kernel (decode -> one threshold -> three
+    shifted-slice adds -> four scalars per image); nothing but 4 longs per
+    image crosses an exchange, so it scales like image_gradient_energy —
+    decode-bound, embarrassingly parallel, no shuffle at any corpus size.
+    Raster->vector contour tracing at 10^12 images would keep this exact
+    kernel and emit (cell, case) pairs only for contour cells (~sqrt of
+    pixel count) into the cell-indexed join layer."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_GRAD_IMAGES)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                g = (img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3
+                b = (g >= CONTOUR_T).astype(np.int64)
+                cs = (
+                    b[:-1, :-1] + 2 * b[:-1, 1:] + 4 * b[1:, 1:] + 8 * b[1:, :-1]
+                )
+                hh, ww = cs.shape
+                xs = np.arange(ww, dtype=np.int64)[None, :]
+                ys = np.arange(hh, dtype=np.int64)[:, None]
+                contour = (cs != 0) & (cs != 15)
+                saddle = (cs == 5) | (cs == 10)
+                rows.append(
+                    (
+                        r.image_id,
+                        int(cs.size),
+                        int(contour.sum()),
+                        int(contour.sum() + saddle.sum()),
+                        int((cs * (xs + 31 * ys + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_cells", "n_contour", "n_segments",
+                    "case_checksum",
+                ],
+            )
+
+    return imgs.mapInPandas(
+        kernel,
+        "image_id string, n_cells long, n_contour long, n_segments long,"
+        " case_checksum long",
+    ).orderBy("image_id")
+
+
+# --- 3x3 morphology (erode/dilate) over the thresholded raster -----------------
+#
+# One 3x3 neighborhood SUM of the thresholded bitmap drives everything:
+# eroded = (sum == 9), dilated = (sum >= 1), and a position-weighted
+# checksum of the sum map pins every neighborhood count exactly.
+
+_MORPH_SQL = f"""
+WITH par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_GRAD_IMAGES})) AS i)
+),
+px AS (SELECT i, base, w, h, unnest(range((w - 2) * (h - 2))) AS p FROM par),
+c AS (
+  SELECT i, base, 1 + (p % (w - 2)) AS x, 1 + (p // (w - 2)) AS y
+  FROM px
+),
+k AS (
+  SELECT i, x, y,
+         (CASE WHEN {_g_expr("x", "y")} >= {CONTOUR_T} THEN 1 ELSE 0 END) AS fg,
+         (CASE WHEN {_g_expr("x - 1", "y - 1")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x", "y - 1")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x + 1", "y - 1")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x - 1", "y")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x", "y")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x + 1", "y")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x - 1", "y + 1")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x", "y + 1")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+       + (CASE WHEN {_g_expr("x + 1", "y + 1")} >= {CONTOUR_T} THEN 1 ELSE 0 END)
+         AS s
+  FROM c
+)
+SELECT printf('img-%012d', i) AS image_id,
+       CAST(COUNT(*) AS BIGINT) AS n_interior,
+       CAST(SUM(fg) AS BIGINT) AS n_fg,
+       CAST(SUM(CASE WHEN s = 9 THEN 1 ELSE 0 END) AS BIGINT) AS n_eroded,
+       CAST(SUM(CASE WHEN s >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dilated,
+       CAST(SUM(s * (x + 31 * y + 1)) AS BIGINT) AS nbr_checksum
+FROM k GROUP BY 1 ORDER BY image_id
+"""
+
+
+@query("image_morphology_stats", oracle=_MORPH_SQL)
+def image_morphology_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3x3 binary morphology over the thresholded gray raster: per interior
+    pixel, the 9-neighborhood foreground count s drives erosion (s == 9:
+    pixel survives a 3x3 structuring element) and dilation (s >= 1), and
+    the position-weighted checksum of the s map pins every neighborhood
+    count bit-exactly against the symbolic DuckDB replay — the standard
+    denoise / mask-cleanup primitives a segmentation-label curation
+    pipeline applies before raster->vector conversion.
+
+    Scale shape: map-only Arrow kernel — decode, one threshold, one 3x3
+    box sum (np.add of 9 shifted views), five scalars per image across the
+    exchange. Decode-bound, shuffle-free, linear in executors."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_GRAD_IMAGES)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                g = (img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3
+                b = (g >= CONTOUR_T).astype(np.int64)
+                s = sum(
+                    b[1 + dy : b.shape[0] - 1 + dy, 1 + dx : b.shape[1] - 1 + dx]
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                )
+                fg = b[1:-1, 1:-1]
+                hh, ww = s.shape
+                xs = np.arange(1, ww + 1, dtype=np.int64)[None, :]
+                ys = np.arange(1, hh + 1, dtype=np.int64)[:, None]
+                rows.append(
+                    (
+                        r.image_id,
+                        int(s.size),
+                        int(fg.sum()),
+                        int((s == 9).sum()),
+                        int((s >= 1).sum()),
+                        int((s * (xs + 31 * ys + 1)).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_interior", "n_fg", "n_eroded",
+                    "n_dilated", "nbr_checksum",
+                ],
+            )
+
+    return imgs.mapInPandas(
+        kernel,
+        "image_id string, n_interior long, n_fg long, n_eroded long,"
+        " n_dilated long, nbr_checksum long",
+    ).orderBy("image_id")
+
+
+# --- horizontal run-length stats of the thresholded raster ---------------------
+#
+# Per row of the bitmap, runs = 1 + transitions; transitions are pinned by
+# a position-weighted checksum. The RLE-compressibility score of a mask
+# store (and the row-segment primitive a scanline polygon-fill uses).
+
+_RLE_SQL = f"""
+WITH par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_GRAD_IMAGES})) AS i)
+),
+px AS (SELECT i, base, w, h, unnest(range((w - 1) * h)) AS p FROM par),
+c AS (
+  SELECT i, base, w, h, 1 + (p % (w - 1)) AS x, (p // (w - 1)) AS y
+  FROM px
+),
+k AS (
+  SELECT i, h, x, y,
+         (CASE WHEN ({_g_expr("x", "y")} >= {CONTOUR_T})
+                <> ({_g_expr("x - 1", "y")} >= {CONTOUR_T})
+               THEN 1 ELSE 0 END) AS t
+  FROM c
+)
+SELECT printf('img-%012d', i) AS image_id,
+       CAST(MIN(h) AS BIGINT) AS n_rows,
+       CAST(SUM(t) AS BIGINT) AS n_transitions,
+       CAST(MIN(h) + SUM(t) AS BIGINT) AS n_runs,
+       CAST(SUM(t * (x + 31 * y)) AS BIGINT) AS rle_checksum
+FROM k GROUP BY 1 ORDER BY image_id
+"""
+
+
+@query("image_rle_stats", oracle=_RLE_SQL)
+def image_rle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horizontal run-length encoding stats of the thresholded raster: per
+    row, runs = 1 + transitions (adjacent-pixel bitmap changes); per image,
+    total runs, transitions, and a position-weighted transition checksum
+    that pins the exact transition set — the compressibility score a mask
+    store uses to pick RLE vs bitmap encoding, and the scanline segment
+    count a polygon rasterizer would emit.
+
+    Scale shape: map-only Arrow kernel (decode -> threshold -> one shifted
+    XOR -> four scalars); shuffle-free, decode-bound, scales linearly."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_GRAD_IMAGES)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                g = (img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3
+                b = g >= CONTOUR_T
+                d = b[:, 1:] != b[:, :-1]
+                hh, ww = d.shape
+                xs = np.arange(1, ww + 1, dtype=np.int64)[None, :]
+                ys = np.arange(hh, dtype=np.int64)[:, None]
+                rows.append(
+                    (
+                        r.image_id,
+                        int(hh),
+                        int(d.sum()),
+                        int(hh + d.sum()),
+                        int(((xs + 31 * ys) * d).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_rows", "n_transitions", "n_runs",
+                    "rle_checksum",
+                ],
+            )
+
+    return imgs.mapInPandas(
+        kernel,
+        "image_id string, n_rows long, n_transitions long, n_runs long,"
+        " rle_checksum long",
+    ).orderBy("image_id")
