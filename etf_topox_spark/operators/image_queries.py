@@ -2180,3 +2180,109 @@ def image_rle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id string, n_rows long, n_transitions long, n_runs long,"
         " rle_checksum long",
     ).orderBy("image_id")
+
+
+# --- binary-mask moments + 4-adjacency perimeter --------------------------------
+#
+# Raw geometric moments of the thresholded mask (m00..m02) plus the exact
+# crack perimeter (count of fg pixel sides facing bg or the image border).
+# The shape-descriptor primitives of a segmentation-label curation pass,
+# and the oracle twin that pins raster_contour_topology's perimeter/area.
+
+_MOMENTS_SQL = f"""
+WITH par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_GRAD_IMAGES})) AS i)
+),
+px AS (SELECT i, base, w, h, unnest(range(w * h)) AS p FROM par),
+c AS (
+  SELECT i, base, w, h, (p % w) AS x, (p // w) AS y FROM px
+),
+k AS (
+  SELECT i, x, y,
+         (CASE WHEN {_g_expr("x", "y")} >= {CONTOUR_T} THEN 1 ELSE 0 END) AS fg,
+         (CASE WHEN y = 0 OR {_g_expr("x", "y - 1")} < {CONTOUR_T}
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN y = h - 1 OR {_g_expr("x", "y + 1")} < {CONTOUR_T}
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN x = 0 OR {_g_expr("x - 1", "y")} < {CONTOUR_T}
+               THEN 1 ELSE 0 END)
+       + (CASE WHEN x = w - 1 OR {_g_expr("x + 1", "y")} < {CONTOUR_T}
+               THEN 1 ELSE 0 END) AS open_sides
+  FROM c
+)
+SELECT printf('img-%012d', i) AS image_id,
+       CAST(SUM(fg) AS BIGINT) AS m00,
+       CAST(SUM(fg * x) AS BIGINT) AS m10,
+       CAST(SUM(fg * y) AS BIGINT) AS m01,
+       CAST(SUM(fg * x * y) AS BIGINT) AS m11,
+       CAST(SUM(fg * x * x) AS BIGINT) AS m20,
+       CAST(SUM(fg * y * y) AS BIGINT) AS m02,
+       CAST(SUM(fg * open_sides) AS BIGINT) AS perimeter
+FROM k GROUP BY 1 ORDER BY image_id
+"""
+
+
+@query("image_mask_moments", oracle=_MOMENTS_SQL)
+def image_mask_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw geometric moments (m00 m10 m01 m11 m20 m02) of the thresholded
+    mask plus the exact crack perimeter — every fg pixel side that faces a
+    bg pixel or the image border. Centroid / orientation / eccentricity are
+    driver-side closed forms of these six integers; the perimeter column is
+    the bit-exact twin of raster_contour_topology's traced boundary length
+    (tests cross-check them row for row).
+
+    Scale shape: map-only Arrow kernel, one threshold + seven weighted
+    sums; seven longs per image cross the exchange. Decode-bound,
+    shuffle-free."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+
+    imgs = synthetic_images(spark, N_GRAD_IMAGES)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                g = (img[:, :, 0] + img[:, :, 1] + img[:, :, 2]) // 3
+                b = (g >= CONTOUR_T).astype(np.int64)
+                hh, ww = b.shape
+                xs = np.arange(ww, dtype=np.int64)[None, :]
+                ys = np.arange(hh, dtype=np.int64)[:, None]
+                pad = np.zeros((hh + 2, ww + 2), dtype=np.int64)
+                pad[1:-1, 1:-1] = b
+                open_sides = (
+                    (pad[:-2, 1:-1] == 0).astype(np.int64)
+                    + (pad[2:, 1:-1] == 0)
+                    + (pad[1:-1, :-2] == 0)
+                    + (pad[1:-1, 2:] == 0)
+                )
+                rows.append(
+                    (
+                        r.image_id,
+                        int(b.sum()),
+                        int((b * xs).sum()),
+                        int((b * ys).sum()),
+                        int((b * xs * ys).sum()),
+                        int((b * xs * xs).sum()),
+                        int((b * ys * ys).sum()),
+                        int((b * open_sides).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "m00", "m10", "m01", "m11", "m20", "m02",
+                         "perimeter"],
+            )
+
+    return imgs.mapInPandas(
+        kernel,
+        "image_id string, m00 long, m10 long, m01 long, m11 long, m20 long,"
+        " m02 long, perimeter long",
+    ).orderBy("image_id")

@@ -47,6 +47,7 @@ OPERATOR_MODULES = [
     "topology_queries",
     "spatial_queries",
     "image_queries",
+    "raster_vector",
     "text",
     "dedup",
     "similarity",
