@@ -48,6 +48,8 @@ OPERATOR_MODULES = [
     "spatial_queries",
     "image_queries",
     "raster_vector",
+    "raster_ccl",
+    "raster_burn",
     "text",
     "dedup",
     "similarity",
