@@ -50,6 +50,9 @@ OPERATOR_MODULES = [
     "raster_vector",
     "raster_ccl",
     "raster_burn",
+    "raster_focal",
+    "image_otsu",
+    "raster_distance",
     "text",
     "dedup",
     "similarity",
