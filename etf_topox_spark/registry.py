@@ -53,6 +53,8 @@ OPERATOR_MODULES = [
     "raster_focal",
     "image_otsu",
     "raster_distance",
+    "tile_pyramid",
+    "image_hough",
     "text",
     "dedup",
     "similarity",
