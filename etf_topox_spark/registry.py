@@ -55,6 +55,7 @@ OPERATOR_MODULES = [
     "raster_distance",
     "tile_pyramid",
     "image_hough",
+    "raster_buffer",
     "text",
     "dedup",
     "similarity",
