@@ -56,6 +56,7 @@ OPERATOR_MODULES = [
     "tile_pyramid",
     "image_hough",
     "raster_buffer",
+    "raster_shape",
     "text",
     "dedup",
     "similarity",
