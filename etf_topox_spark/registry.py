@@ -57,6 +57,7 @@ OPERATOR_MODULES = [
     "image_hough",
     "raster_buffer",
     "raster_shape",
+    "spatial_idw",
     "text",
     "dedup",
     "similarity",
