@@ -58,6 +58,7 @@ OPERATOR_MODULES = [
     "raster_buffer",
     "raster_shape",
     "spatial_idw",
+    "spatial_ripley",
     "text",
     "dedup",
     "similarity",
