@@ -59,6 +59,7 @@ OPERATOR_MODULES = [
     "raster_shape",
     "spatial_idw",
     "spatial_ripley",
+    "image_glcm",
     "text",
     "dedup",
     "similarity",
