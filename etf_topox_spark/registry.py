@@ -60,6 +60,7 @@ OPERATOR_MODULES = [
     "spatial_idw",
     "spatial_ripley",
     "image_glcm",
+    "raster_watershed",
     "text",
     "dedup",
     "similarity",
