@@ -61,6 +61,7 @@ OPERATOR_MODULES = [
     "spatial_ripley",
     "image_glcm",
     "raster_watershed",
+    "raster_terrain",
     "text",
     "dedup",
     "similarity",
