@@ -62,6 +62,7 @@ OPERATOR_MODULES = [
     "image_glcm",
     "raster_watershed",
     "raster_terrain",
+    "raster_viewshed",
     "text",
     "dedup",
     "similarity",
