@@ -63,6 +63,7 @@ OPERATOR_MODULES = [
     "raster_watershed",
     "raster_terrain",
     "raster_viewshed",
+    "dataset_split",
     "text",
     "dedup",
     "similarity",
