@@ -64,6 +64,7 @@ OPERATOR_MODULES = [
     "raster_terrain",
     "raster_viewshed",
     "dataset_split",
+    "dataset_leakage",
     "text",
     "dedup",
     "similarity",
