@@ -65,6 +65,7 @@ OPERATOR_MODULES = [
     "raster_viewshed",
     "dataset_split",
     "dataset_leakage",
+    "image_seam",
     "text",
     "dedup",
     "similarity",
