@@ -158,3 +158,56 @@ def raster_focal_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered per-cell aggregate in the oracle — two opposite evaluation
     orders of the same filter (module docstring)."""
     return focal_median(spark)
+
+
+# --- integer hillshade census ---------------------------------------------------
+
+# Hillshade with a fixed NW light at 45 deg elevation, integer form: the
+# standard L.N illumination numerator with the trig constants cleared.
+# With unit light direction (-1, -1, 1)/sqrt(3) and surface normal
+# (-gx, -gy, 8)/|.| (Horn kernel, cell size 1), sign and ORDERING of the
+# illumination are those of the integer numerator  gx + gy + 8  (after
+# clearing the positive sqrt denominators per-cell at the bucket
+# boundaries only — we bucket by the numerator directly, which every
+# engine computes identically in int64). Shadowed cells are numerator < 0.
+_HILL_NUM = None  # built below
+
+
+def _hill_sql(h) -> str:
+    gx, gy = _grad(h)
+    return f"(({gx}) + ({gy}) + 8)"
+
+
+_HILL_CENSUS_SQL = f"""
+WITH xs AS (SELECT CAST(range AS BIGINT) AS gx FROM range(1, {WS - 1})),
+ys AS (SELECT CAST(range AS BIGINT) AS gy FROM range(1, {WS - 1})),
+cells AS (SELECT gx, gy, {_hill_sql(_h_sql)} AS illum FROM xs CROSS JOIN ys)
+SELECT CAST(illum AS BIGINT) AS illum,
+       COUNT(*) AS n_cells
+FROM cells GROUP BY illum ORDER BY illum
+"""
+
+
+@query("raster_hillshade_census", oracle=_HILL_CENSUS_SQL)
+def raster_hillshade_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer hillshade census of the DEM interior: per NW-light
+    illumination numerator (gx + gy + 8 over the Horn 3x3 gradient;
+    module note — same ordering as the float hillshade, no trig/sqrt in
+    the contract), the number of cells. Negative = self-shadowed slopes.
+
+    Scale shape: identical to raster_slope_aspect — the DEM is
+    formula-evaluable so all nine neighbor heights inline as Catalyst
+    expressions (NO neighbor join, NO Python); one count aggregate
+    exchange over a few hundred distinct illumination values. On a stored
+    raster this becomes the raster_focal halo-exchange kernel."""
+    px = spark.range(0, (WS - 2) * (WS - 2), 1,
+                     spark.sparkContext.defaultParallelism).select(
+        (F.col("id") % (WS - 2) + 1).alias("gx"),
+        (F.col("id") / (WS - 2)).cast("long").alias("gy"),
+    ).withColumn("gy", F.col("gy") + 1)
+    cells = px.withColumn("illum", F.expr(_hill_sql(_h_spark)))
+    return (
+        cells.groupBy("illum")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+        .orderBy("illum")
+    )

@@ -2260,3 +2260,302 @@ def geom_overlay_intersect_area(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("n_clip >= 3")
         .orderBy("feature_id")
     )
+
+
+# --- point-level DBSCAN (exact eps-disc density clustering) -------------------
+
+# Smaller corpus than the cell-density variant: the exact point-level
+# semantics needs eps-disc PAIR enumeration, and the oracle replays it as
+# a naive all-pairs join — N is sized so the oracle's O(N²) stays cheap
+# while the fixture still exercises every DBSCAN case: a ~1000-point clique
+# (the hot blob, all pairwise within eps), a 300-point chain cluster (the
+# ridge — core by chain neighbors only), scattered noise, and borders.
+N_DB = 2000
+N_DB_RIDGE = 300
+DB_EPS = 0.05  # eps-disc radius; 1/eps = 20 exactly representable
+DB_MINPTS = 8  # neighbor count INCLUDING self
+
+_DB_RIDGE_SQL = f"""
+    SELECT {RIDGE_OFFSET} + j AS point_id,
+           1.0 + CAST(j * 5 AS DOUBLE) / 1000.0 AS x,
+           4.0 + CAST(j * 25 AS DOUBLE) / 10000.0 AS y
+    FROM (SELECT range AS j FROM range({N_DB_RIDGE}))
+"""
+
+_DBSCAN_SQL = f"""
+WITH RECURSIVE pts AS ({points_sql(N_DB)} UNION ALL {_DB_RIDGE_SQL}),
+nbr AS (
+  SELECT a.point_id AS pa, b.point_id AS pb
+  FROM pts a JOIN pts b
+    ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+       <= {DB_EPS} * {DB_EPS}
+),
+cnt AS (SELECT pa, COUNT(*) AS n FROM nbr GROUP BY pa),
+core AS (SELECT pa AS id FROM cnt WHERE n >= {DB_MINPTS}),
+edges AS (
+  SELECT n.pa AS s, n.pb AS d
+  FROM nbr n JOIN core c1 ON c1.id = n.pa JOIN core c2 ON c2.id = n.pb
+  WHERE n.pa <> n.pb
+),
+walk(node, lbl) AS (
+  SELECT id, id FROM core
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges e ON e.s = w.node
+),
+roots AS (SELECT node, MIN(lbl) AS root FROM walk GROUP BY node),
+border AS (
+  SELECT n.pa AS id, MIN(r.root) AS root
+  FROM nbr n
+  JOIN core c ON c.id = n.pb
+  JOIN roots r ON r.node = n.pb
+  WHERE n.pa <> n.pb AND n.pa NOT IN (SELECT id FROM core)
+  GROUP BY n.pa
+)
+SELECT r.root AS cluster_id,
+       COUNT(*) AS n_core,
+       COALESCE(MAX(b.n_border), 0) AS n_border
+FROM roots r
+LEFT JOIN (SELECT root, COUNT(*) AS n_border FROM border GROUP BY root) b
+  ON b.root = r.root
+GROUP BY r.root
+ORDER BY cluster_id
+"""
+
+
+def _db_ridge_points(spark: SparkSession) -> DataFrame:
+    j = F.col("id") - RIDGE_OFFSET
+    return spark.range(RIDGE_OFFSET, RIDGE_OFFSET + N_DB_RIDGE).select(
+        F.col("id").alias("point_id"),
+        (F.lit(1.0) + (j * 5).cast("double") / 1000.0).alias("x"),
+        (F.lit(4.0) + (j * 25).cast("double") / 10000.0).alias("y"),
+    )
+
+
+@query("spatial_dbscan_points", oracle=_DBSCAN_SQL)
+def spatial_dbscan_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact point-level DBSCAN (not the cell-density approximation of
+    spatial_cluster_points): a point is CORE iff its eps-disc holds >=
+    MINPTS points (self included); clusters are connected components of
+    the core-core eps graph labeled by min point_id (the engine's CC root
+    rule); a non-core point within eps of a core joins the smallest
+    adjacent cluster root (the deterministic stand-in for scan-order
+    border assignment); everything else is noise. Output: per-cluster
+    core/border census.
+
+    Scale shape: candidate pairs come from an eps-cell 9-neighborhood
+    join (cell side = eps, so any pair within eps shares adjacent cells)
+    — the shuffle carries (cell, id, x, y), never O(N²); the hot blob's
+    single-cell clique is exactly the J14 hot-cell shape and would ride
+    the salted-skew join at 10^12 points (SCALE.md §2). CC runs on the
+    shared large-star/small-star machinery. The oracle replays the
+    semantics as the naive all-pairs join + recursive min-label walk —
+    same doubles bit-for-bit (one multiply/subtract tree, no sqrt)."""
+    from etf_topox_spark.operators.topology import connected_components
+
+    pts = synthetic_points(spark, N_DB).unionByName(_db_ridge_points(spark))
+    inv = F.lit(1.0 / DB_EPS)
+    cells = pts.select(
+        "point_id", "x", "y",
+        F.floor(F.col("x") * inv).cast("long").alias("cx"),
+        F.floor(F.col("y") * inv).cast("long").alias("cy"),
+    )
+    # 9-neighborhood candidate join: left side explodes its 3x3 cell cover
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    lhs = cells.select(
+        F.col("point_id").alias("pa"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.explode(F.array(*[
+            F.struct((F.col("cx") + dx).alias("cx"), (F.col("cy") + dy).alias("cy"))
+            for dx, dy in offs
+        ])).alias("o"),
+    ).select("pa", "ax", "ay", F.col("o.cx").alias("cx"), F.col("o.cy").alias("cy"))
+    rhs = cells.select(
+        "cx", "cy", F.col("point_id").alias("pb"),
+        F.col("x").alias("bx"), F.col("y").alias("by"),
+    )
+    dx, dy = F.col("ax") - F.col("bx"), F.col("ay") - F.col("by")
+    nbr = (
+        lhs.join(rhs, ["cx", "cy"])
+        .filter(dx * dx + dy * dy <= F.lit(DB_EPS * DB_EPS))
+        .select("pa", "pb")
+        .localCheckpoint(eager=False)
+    )
+    core = (
+        nbr.groupBy("pa").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= DB_MINPTS)
+        .select(F.col("pa").alias("id"))
+        .localCheckpoint(eager=False)
+    )
+    pairs = (
+        nbr.filter(F.col("pa") != F.col("pb"))
+        .join(core.select(F.col("id").alias("pa")), "pa")
+        .join(core.select(F.col("id").alias("pb")), "pb")
+    )
+    roots_cc = connected_components(
+        pairs.filter(F.col("pa") < F.col("pb"))
+        .select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+    )
+    roots = core.join(roots_cc, core.id == roots_cc.node, "left").select(
+        "id", F.coalesce("root", F.col("id")).alias("root")
+    )
+    border = (
+        nbr.filter(F.col("pa") != F.col("pb"))
+        .join(core.select(F.col("id").alias("pb")), "pb")
+        .join(core.select(F.col("id").alias("pa")), "pa", "left_anti")
+        .join(roots.select(F.col("id").alias("pb"), "root"), "pb")
+        .groupBy("pa")
+        .agg(F.min("root").alias("root"))
+    )
+    core_census = roots.groupBy("root").agg(F.count(F.lit(1)).alias("n_core"))
+    border_census = border.groupBy("root").agg(F.count(F.lit(1)).alias("n_border"))
+    return (
+        core_census.join(border_census, "root", "left")
+        .select(
+            F.col("root").alias("cluster_id"),
+            "n_core",
+            F.coalesce("n_border", F.lit(0)).alias("n_border"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# --- geofence enter/exit transition detection ---------------------------------
+
+_FENCE = (8.0, 12.0, 8.0, 12.0)  # [x0, x1) x [y0, y1): captures the hot cell
+
+_GEOFENCE_SQL = f"""
+WITH pts AS ({points_sql(N_TRAJ)}),
+tr AS (
+  SELECT point_id % {N_OBJECTS} AS object_id,
+         point_id // {N_OBJECTS} AS t, x, y,
+         CAST(x >= {_FENCE[0]} AND x < {_FENCE[1]}
+          AND y >= {_FENCE[2]} AND y < {_FENCE[3]} AS INTEGER) AS inside
+  FROM pts
+),
+st AS (
+  SELECT object_id, t, x, y, inside,
+         LAG(inside) OVER (PARTITION BY object_id ORDER BY t) AS prev
+  FROM tr
+)
+SELECT object_id, CAST(t AS BIGINT) AS t, x, y,
+       CASE WHEN inside = 1 THEN 'enter' ELSE 'exit' END AS kind
+FROM st
+WHERE (prev IS NULL AND inside = 1) OR (prev IS NOT NULL AND prev <> inside)
+ORDER BY object_id, t
+"""
+
+
+@query("spatial_geofence_transitions", oracle=_GEOFENCE_SQL)
+def spatial_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence enter/exit event detection over object trajectories — the
+    fleet/asset-tracking staple: per object, per tick, an inside-fence
+    flag; a transition row is emitted whenever the flag changes (plus an
+    initial 'enter' when a track starts inside). Same trajectory corpus
+    and total order as trajectory_steps.
+
+    Scale shape: inside-test is a map-side predicate (at many fences it
+    becomes the J10 PIP join first); then ONE hash exchange on object_id
+    for the lag window. Transition rows are rare relative to ticks, so
+    the output is a tiny fraction of the input — the filter sits above
+    the window but below any wide operation."""
+    from pyspark.sql import Window
+
+    pts = synthetic_points(spark, N_TRAJ)
+    x0, x1, y0, y1 = _FENCE
+    inside = (
+        (F.col("x") >= x0) & (F.col("x") < x1)
+        & (F.col("y") >= y0) & (F.col("y") < y1)
+    ).cast("int")
+    tr = pts.select(
+        (F.col("point_id") % N_OBJECTS).alias("object_id"),
+        F.floor(F.col("point_id") / N_OBJECTS).alias("t"),
+        "x", "y", inside.alias("inside"),
+    )
+    w = Window.partitionBy("object_id").orderBy("t")
+    st = tr.withColumn("prev", F.lag("inside").over(w))
+    return (
+        st.filter(
+            (F.col("prev").isNull() & (F.col("inside") == 1))
+            | (F.col("prev").isNotNull() & (F.col("prev") != F.col("inside")))
+        )
+        .select(
+            "object_id", "t", "x", "y",
+            F.when(F.col("inside") == 1, "enter").otherwise("exit").alias("kind"),
+        )
+        .orderBy("object_id", "t")
+    )
+
+
+# --- discrete Voronoi: nearest-site assignment census --------------------------
+
+N_VOR_SITES = 64
+VOR_SITE_BASE = 3_000_000  # even ids → the scattered branch of the generator
+
+_VOR_SITES_SQL = f"""
+    SELECT j AS site_id,
+           CAST((({VOR_SITE_BASE} + 2 * j) * {KX}) % {M} AS DOUBLE) / {DIV} AS sx,
+           CAST((({VOR_SITE_BASE} + 2 * j) * {KY}) % {M} AS DOUBLE) / {DIV} AS sy
+    FROM (SELECT range AS j FROM range({N_VOR_SITES}))
+"""
+
+_VORONOI_SQL = f"""
+WITH pts AS ({points_sql(N_POINTS)}),
+sites AS ({_VOR_SITES_SQL}),
+d AS (
+  SELECT p.point_id, s.site_id,
+         (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy) AS d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.point_id
+           ORDER BY (p.x - s.sx) * (p.x - s.sx) + (p.y - s.sy) * (p.y - s.sy),
+                    s.site_id) AS rn
+  FROM pts p CROSS JOIN sites s
+)
+SELECT site_id, COUNT(*) AS n_points,
+       CAST(SUM(CAST(d2 AS DECIMAL(30,6))) AS DOUBLE) AS sum_d2
+FROM d WHERE rn = 1
+GROUP BY site_id ORDER BY site_id
+"""
+
+
+@query("spatial_voronoi_assign", oracle=_VORONOI_SQL)
+def spatial_voronoi_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete Voronoi / nearest-facility assignment: every point joins
+    its squared-L2-nearest of {N_VOR_SITES} sites (tie → lowest site_id),
+    output the per-cell census (point count + exact decimal-summed total
+    squared distance). The allocation primitive behind facility siting,
+    k-means E-steps, and cell-tower attribution.
+
+    Scale shape: the site table broadcasts (tiny by construction —
+    facilities, centroids); the nested-loop candidate set reduces
+    map-side via the partial-aggregable min(struct(d2, site_id)) before
+    ONE exchange on point_id... in fact the argmin collapses INTO the
+    broadcast-join stage, so the only full exchange carries one row per
+    point; the site census is then a 64-row aggregate. At 10^9 sites the
+    candidate set would come from the kNN cell index (J11) instead of the
+    broadcast nested loop — same downstream algebra."""
+    pts = synthetic_points(spark, N_POINTS)
+    j = F.col("id")
+    sites = spark.range(N_VOR_SITES).select(
+        F.col("id").alias("site_id"),
+        (((VOR_SITE_BASE + 2 * j) * KX) % M).cast("double").alias("sxn"),
+        (((VOR_SITE_BASE + 2 * j) * KY) % M).cast("double").alias("syn"),
+    ).select(
+        "site_id",
+        (F.col("sxn") / DIV).alias("sx"),
+        (F.col("syn") / DIV).alias("sy"),
+    )
+    dx, dy = F.col("x") - F.col("sx"), F.col("y") - F.col("sy")
+    d = pts.join(F.broadcast(sites)).select(
+        "point_id",
+        F.struct((dx * dx + dy * dy).alias("d2"), F.col("site_id")).alias("c"),
+    )
+    best = d.groupBy("point_id").agg(F.min("c").alias("c"))
+    from pyspark.sql.types import DecimalType
+
+    return (
+        best.groupBy(F.col("c.site_id").alias("site_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(F.col("c.d2").cast(DecimalType(30, 6))).cast("double").alias("sum_d2"),
+        )
+        .orderBy("site_id")
+    )

@@ -345,3 +345,42 @@ def part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fronts = p.mapInPandas(local_front, schema)
     merged = fronts.coalesce(1).mapInPandas(local_front, schema)
     return merged.orderBy("p_partkey")
+
+
+# --- W1b: distribution window functions (ntile / percent_rank / cume_dist) ---
+
+_DISTRIBUTION_SQL = """
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_acctbal, c_custkey
+"""
+
+
+@query("window_distribution", oracle=_DISTRIBUTION_SQL)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution window family (W1's remaining members): NTILE
+    equi-height bucketing, PERCENT_RANK, CUME_DIST over a deterministic
+    total order. Both ratios are single IEEE divisions of exact integers
+    ((rank-1)/(n-1), n_leq/n), so the doubles are bit-identical across
+    engines with no rounding shim.
+
+    Scale shape: one hash exchange on the partition key, one sort within —
+    identical to window_rank; NTILE at 10^12 rows wants the partition key
+    to bound group size (it does here: customers per nation)."""
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        T(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .orderBy("c_nationkey", "c_acctbal", "c_custkey")
+    )

@@ -60,7 +60,9 @@ OPERATOR_MODULES = [
     "spatial_idw",
     "spatial_ripley",
     "image_glcm",
+    "image_quantize",
     "raster_watershed",
+    "raster_flowacc",
     "raster_terrain",
     "raster_viewshed",
     "dataset_split",
@@ -71,6 +73,7 @@ OPERATOR_MODULES = [
     "similarity",
     "multimodal",
     "lineage_queries",
+    "cdc",
     "export",
 ]
 

@@ -451,3 +451,108 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         (F.unix_micros("click_ts") - F.unix_micros("view_ts")).alias("gap_us"),
     ).orderBy("view_id", "click_id")
+
+
+# --- T5b: CDC latest-wins upsert snapshot (streaming twin of cdc_upsert_snapshot)
+
+# batch twin: the stateful kernel keeps, per key, the max-(ts, event_id)
+# operation seen so far; both the count and the kept op are monotone
+# across update emissions, so taking each user's LAST update row (max
+# n_ops) equals the batch row_number pick. A final 'error' op is the
+# tombstone: the key is dropped from the snapshot.
+_CDC_STREAM_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       event_type AS last_type, value AS last_value, n_ops
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+def cdc_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState CDC apply: per key, latest-wins by the
+    (ts, event_id) total order, 'error' as the tombstone type — the
+    streaming MERGE INTO every CDC lakehouse feed runs (SURVEY.md §2.B T5
+    shape, §2.C curation mechanics)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    s = events_stream(spark, sf_dir).withWatermark("ts", "10 minutes")
+
+    def apply_cdc(key, pdfs, state: GroupState):
+        if state.exists:
+            n_ops, ts_us, eid, etype, val = state.get
+        else:
+            n_ops, ts_us, eid, etype, val = 0, -1, -1, "", 0.0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n_ops += len(pdf)
+            ts_np = pdf["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            # python-int (unbounded) packing of the (ts, event_id) total
+            # order — 10**12 headroom keeps event_id from colliding with ts
+            order = (ts_np.astype(object) * 10**12) + pdf["event_id"].to_numpy()
+            j = int(order.argmax())
+            if int(order[j]) > ts_us * 10**12 + eid:
+                ts_us = int(ts_np[j])
+                eid = int(pdf["event_id"].iloc[j])
+                etype = str(pdf["event_type"].iloc[j])
+                val = float(pdf["value"].iloc[j])
+        state.update((n_ops, ts_us, eid, etype, val))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [eid],
+                "last_ts_us": [ts_us],
+                "last_type": [etype],
+                "last_value": [val],
+                "n_ops": [n_ops],
+            }
+        )
+
+    return s.groupBy("user_id").applyInPandasWithState(
+        apply_cdc,
+        outputStructType=(
+            "user_id long, last_event_id long, last_ts_us long, "
+            "last_type string, last_value double, n_ops long"
+        ),
+        stateStructType=(
+            "n_ops long, last_ts_us long, last_event_id long, "
+            "last_type string, last_value double"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@query("streaming_cdc_upsert", oracle=_CDC_STREAM_ORACLE)
+def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_memory(
+        cdc_upsert_stream(spark, sf_dir),
+        f"cdc_upsert_{abs(hash(sf_dir)) % 10**6}",
+        "update",
+    )
+    from pyspark.sql.window import Window
+
+    # last update row per key = the final state (n_ops is monotone)
+    w = F.row_number().over(Window.partitionBy("user_id").orderBy(F.desc("n_ops")))
+    return (
+        out.withColumn("rn", w)
+        .filter((F.col("rn") == 1) & (F.col("last_type") != "error"))
+        .select(
+            "user_id",
+            "last_event_id",
+            F.timestamp_micros(F.col("last_ts_us")).cast("timestamp_ntz").alias("last_ts"),
+            "last_type",
+            "last_value",
+            "n_ops",
+        )
+        .orderBy("user_id")
+    )
