@@ -2286,3 +2286,89 @@ def image_mask_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id string, m00 long, m10 long, m01 long, m11 long, m20 long,"
         " m02 long, perimeter long",
     ).orderBy("image_id")
+
+
+# --- geo-blocked phash near-dup detection (A+B fusion: image x geospatial) -----
+
+# Looser hamming threshold than the global dedup funnel: co-location
+# corroborates near-duplication (re-uploads / re-shoots of the same scene),
+# so the geo cell IS the blocking key — no pigeonhole chunks needed, and
+# the within-cell pair count is bounded by cell population, not corpus
+# size. The planted dup_ copies share their original's image index, hence
+# its location: every planted pair MUST surface with hamming 0.
+GEO_HAM_T = 16
+GEO_CELL_DEG = 4  # 4-degree blocking cells over the 20x20 window
+
+_GEO_PHASH_SQL = f"""
+WITH {_PHASH_CORPUS_SQL},
+geo AS (
+  SELECT image_id, phash,
+         CAST(substr(image_id, length(image_id) - 11, 12) AS BIGINT) AS i0
+  FROM corpus
+),
+cells AS (
+  SELECT image_id, phash,
+         ((i0 * {GEO_KX}) % {GEO_M}) // {GEO_CELL_DEG * 1000} AS cell_x,
+         ((i0 * {GEO_KY}) % {GEO_M}) // {GEO_CELL_DEG * 1000} AS cell_y
+  FROM geo
+)
+SELECT a.cell_x, a.cell_y,
+       a.image_id AS img_a, b.image_id AS img_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM cells a JOIN cells b
+  ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y AND a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {GEO_HAM_T}
+ORDER BY 1, 2, 3, 4
+"""
+
+
+@query("image_geo_phash_dedup", oracle=_GEO_PHASH_SQL)
+def image_geo_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Location-corroborated near-duplicate detection: image pairs in the
+    SAME geo blocking cell (the image corpus carries a deterministic
+    footprint anchor, sources/images.py image_geo) with phash hamming <=
+    GEO_HAM_T. The street-imagery / satellite-revisit dedup shape: a
+    loose perceptual threshold is safe only because the block key is
+    physical co-location.
+
+    Scale shape: phash and cell derive map-side; ONE exchange on
+    (cell_x, cell_y) carrying (id, phash) — 16 bytes/row, never pixels;
+    within-cell pairs are bounded by cell population (a hot landmark cell
+    would ride the J14 salting pattern). Full-funnel oracle: phashes
+    re-derived from the pixel formulas in exact integer SQL, geo cells
+    from the id arithmetic, pair join replayed symbolically."""
+    from etf_topox_spark.sources.images import GEO_KX, GEO_KY, GEO_M
+
+    base = synthetic_images(spark, N_PHASH_IMAGES)
+    dups = (
+        base.filter(F.substring("image_id", -6, 6).cast("int") < N_DUP_IMAGES)
+        .withColumn("image_id", F.concat(F.lit(DUP_PREFIX), F.col("image_id")))
+    )
+    i0 = F.substring("image_id", -12, 12).cast("long")
+    cells = (
+        base.unionByName(dups)
+        .select(
+            "image_id", "phash",
+            ((i0 * GEO_KX) % GEO_M).alias("mx"),
+            ((i0 * GEO_KY) % GEO_M).alias("my"),
+        )
+        .select(
+            "image_id", "phash",
+            F.floor(F.col("mx") / (GEO_CELL_DEG * 1000)).alias("cell_x"),
+            F.floor(F.col("my") / (GEO_CELL_DEG * 1000)).alias("cell_y"),
+        )
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    ham = F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash")))
+    return (
+        a.join(b, ["cell_x", "cell_y"])
+        .filter(F.col("a.image_id") < F.col("b.image_id"))
+        .filter(ham <= GEO_HAM_T)
+        .select(
+            "cell_x", "cell_y",
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            ham.alias("hamming"),
+        )
+        .orderBy("cell_x", "cell_y", "img_a", "img_b")
+    )

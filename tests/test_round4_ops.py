@@ -309,3 +309,26 @@ def test_voronoi_assignment_matches_numpy(spark):
         if counts[k]:
             assert m.loc[k, "n_points"] == counts[k]
             assert m.loc[k, "sum_d2"] == pytest.approx(sums[k], abs=1e-5)
+
+
+def test_geo_phash_dedup_planted_pairs(spark):
+    from etf_topox_spark.operators.image_queries import (
+        DUP_PREFIX, GEO_HAM_T, N_DUP_IMAGES,
+    )
+
+    got = QUERIES["image_geo_phash_dedup"](spark, SF).toPandas()
+    # every planted dup shares its original's location AND phash → all
+    # N_DUP_IMAGES (dup, orig) pairs must surface with hamming 0
+    # ("dup_" < "img" lexicographically, so the copy lands in img_a)
+    planted = got[got["img_a"] == DUP_PREFIX + got["img_b"]]
+    assert len(planted) == N_DUP_IMAGES
+    assert (planted["hamming"] == 0).all()
+    assert got["hamming"].between(0, GEO_HAM_T).all()
+    # pairs only within one blocking cell: recompute cells from the ids
+    from etf_topox_spark.operators.image_queries import GEO_CELL_DEG
+    from etf_topox_spark.sources.images import GEO_KX, GEO_KY, GEO_M
+
+    for col in ("img_a", "img_b"):
+        i0 = got[col].str[-12:].astype(np.int64)
+        assert ((i0 * GEO_KX) % GEO_M // (GEO_CELL_DEG * 1000) == got["cell_x"]).all()
+        assert ((i0 * GEO_KY) % GEO_M // (GEO_CELL_DEG * 1000) == got["cell_y"]).all()
