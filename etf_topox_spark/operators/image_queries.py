@@ -2372,3 +2372,191 @@ def image_geo_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_x", "cell_y", "img_a", "img_b")
     )
+
+
+# --- image-footprint overlap join (mosaic seamline planning) -------------------
+
+# Each image's raster footprint is an axis-aligned rectangle anchored at its
+# geo position (sources/images.py image_geo) spanning w x h pixels at
+# PX_DEG = 1/1024 degree per pixel. Working unit: 1/128000 degree, in which
+# both the anchor (thousandths of a degree x 128) and the pixel span
+# (w * 125, since 1/1024 deg = 125 units) are EXACT integers — the overlap
+# arithmetic never touches a float. Mosaic/seamline planning needs exactly
+# this pair set: which acquisitions overlap, and by how much.
+N_FOOT = 3000
+FOOT_SCALE = 128          # milli-degree -> 1/128000-degree units
+FOOT_PX_U = 125           # one pixel (1/1024 deg) in 1/128000-degree units
+FOOT_CELL_U = 512_000     # 4-degree blocking cells in the same units
+
+_FOOT_RECT_SQL = f"""
+par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h
+  FROM (SELECT unnest(range({N_FOOT})) AS i)
+),
+rect AS (
+  SELECT i,
+         ((i * {GEO_KX}) % {GEO_M}) * {FOOT_SCALE} AS x0,
+         ((i * {GEO_KX}) % {GEO_M}) * {FOOT_SCALE} + w * {FOOT_PX_U} AS x1,
+         ((i * {GEO_KY}) % {GEO_M}) * {FOOT_SCALE} AS y0,
+         ((i * {GEO_KY}) % {GEO_M}) * {FOOT_SCALE} + h * {FOOT_PX_U} AS y1
+  FROM par
+)"""
+
+_FOOT_OVERLAP_SQL = f"""
+WITH {_FOOT_RECT_SQL}
+SELECT printf('img-%012d', a.i) AS img_a, printf('img-%012d', b.i) AS img_b,
+       least(a.x1, b.x1) - greatest(a.x0, b.x0) AS iw,
+       least(a.y1, b.y1) - greatest(a.y0, b.y0) AS ih,
+       (least(a.x1, b.x1) - greatest(a.x0, b.x0))
+         * (least(a.y1, b.y1) - greatest(a.y0, b.y0)) AS inter_area
+FROM rect a JOIN rect b ON a.i < b.i
+WHERE least(a.x1, b.x1) - greatest(a.x0, b.x0) > 0
+  AND least(a.y1, b.y1) - greatest(a.y0, b.y0) > 0
+ORDER BY 1, 2
+"""
+
+
+def _footprint_rects(spark: SparkSession, n: int) -> DataFrame:
+    """(i, x0, x1, y0, y1) integer footprint rectangles — pure Catalyst
+    arithmetic over spark.range, no pixel decode, no Python."""
+    i = F.col("id")
+    w = F.when(i % 3 == 0, 64).when(i % 3 == 1, 128).otherwise(96)
+    h = F.when(i % 3 == 0, 64).when(i % 3 == 1, 96).otherwise(128)
+    x0 = ((i * GEO_KX) % GEO_M) * FOOT_SCALE
+    y0 = ((i * GEO_KY) % GEO_M) * FOOT_SCALE
+    return spark.range(n).select(
+        i.alias("i"),
+        x0.alias("x0"),
+        (x0 + w * FOOT_PX_U).alias("x1"),
+        y0.alias("y0"),
+        (y0 + h * FOOT_PX_U).alias("y1"),
+    )
+
+
+@query("image_footprint_overlap", oracle=_FOOT_OVERLAP_SQL)
+def image_footprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of images whose raster footprints overlap, with the exact
+    integer intersection extent — the acquisition-overlap graph a mosaic
+    seamline planner consumes (north star: 'spatial-join + tiling engine').
+
+    Scale shape: each footprint explodes to the <=4 blocking cells it
+    touches (footprints are ~0.1 deg, cells 4 deg, so almost always 1);
+    ONE exchange on (cx, cy) carrying five ints per row; within-cell pair
+    join; a pair is OWNED by the single cell containing its intersection's
+    min corner, so cross-cell duplicates are dropped without a distinct.
+    The DuckDB oracle replays the all-pairs join naively — the cell
+    decomposition must lose nothing and double nothing."""
+    r = _footprint_rects(spark, N_FOOT)
+    c = FOOT_CELL_U
+    covered = r.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("x0") / c), F.floor((F.col("x1") - 1) / c))
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("y0") / c), F.floor((F.col("y1") - 1) / c))
+        ).alias("cy"),
+    )
+    a, b = covered.alias("a"), covered.alias("b")
+    iw = F.least("a.x1", "b.x1") - F.greatest("a.x0", "b.x0")
+    ih = F.least("a.y1", "b.y1") - F.greatest("a.y0", "b.y0")
+    own_x = F.floor(F.greatest("a.x0", "b.x0") / c) == F.col("a.cx")
+    own_y = F.floor(F.greatest("a.y0", "b.y0") / c) == F.col("a.cy")
+    return (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("a.i") < F.col("b.i")) & (iw > 0) & (ih > 0) & own_x & own_y)
+        .select(
+            F.format_string("img-%012d", "a.i").alias("img_a"),
+            F.format_string("img-%012d", "b.i").alias("img_b"),
+            iw.alias("iw"),
+            ih.alias("ih"),
+            (iw * ih).alias("inter_area"),
+        )
+        .orderBy("img_a", "img_b")
+    )
+
+
+# --- geo-kNN image retrieval with perceptual re-rank ---------------------------
+
+KNN_Q_MOD = 23   # every 23rd image is a retrieval query (~N/23 probes)
+KNN_K = 5
+
+_GEO_KNN_SQL = f"""
+WITH {_PHASH_CORPUS_SQL},
+pos AS (
+  SELECT i, phash, printf('img-%012d', i) AS image_id,
+         (i * {GEO_KX}) % {GEO_M} AS mx, (i * {GEO_KY}) % {GEO_M} AS my
+  FROM ph
+),
+pairs AS (
+  SELECT q.image_id AS query_id, c.image_id AS neighbor_id,
+         (q.mx - c.mx) * (q.mx - c.mx) + (q.my - c.my) * (q.my - c.my) AS d2,
+         CAST(bit_count(xor(q.phash, c.phash)) AS INT) AS hamming,
+         row_number() OVER (
+           PARTITION BY q.image_id
+           ORDER BY (q.mx - c.mx) * (q.mx - c.mx) + (q.my - c.my) * (q.my - c.my),
+                    c.image_id
+         ) AS rn
+  FROM pos q JOIN pos c ON q.i % {KNN_Q_MOD} = 0 AND c.i <> q.i
+)
+SELECT query_id, CAST(rn AS INT) AS knn_rank, neighbor_id, d2, hamming
+FROM pairs WHERE rn <= {KNN_K}
+ORDER BY query_id, knn_rank
+"""
+
+
+@query("image_geo_knn_retrieval", oracle=_GEO_KNN_SQL)
+def image_geo_knn_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each probe image, its KNN_K geographically nearest corpus images
+    (exact integer squared distance on the milli-degree anchor, ties by
+    neighbor id) with the perceptual hamming distance of each hit — the
+    'what else was shot here, and does it look the same' retrieval shape
+    (satellite revisit / street-level re-capture analysis).
+
+    Scale shape: the probe set is a small filtered fraction, so it rides a
+    broadcast against the corpus; only (query_id, neighbor_id, d2, hamming)
+    cross the one exchange that ranks per probe. A corpus-scale probe set
+    would switch to the certified-ring kNN join (J11, operators/spatial.py)
+    — this operator is the retrieval/re-rank fusion on top of the same
+    geometry. Full-funnel oracle: phashes re-derived from pixel formulas,
+    positions from id arithmetic, ranking replayed as a window."""
+    from pyspark.sql.window import Window
+
+    i0 = F.substring("image_id", -12, 12).cast("long")
+    pos = synthetic_images(spark, N_PHASH_IMAGES).select(
+        "image_id",
+        "phash",
+        i0.alias("i"),
+        ((i0 * GEO_KX) % GEO_M).alias("mx"),
+        ((i0 * GEO_KY) % GEO_M).alias("my"),
+    )
+    q = pos.filter(F.col("i") % KNN_Q_MOD == 0).select(
+        F.col("image_id").alias("query_id"),
+        F.col("phash").alias("q_phash"),
+        F.col("i").alias("qi"),
+        F.col("mx").alias("qmx"),
+        F.col("my").alias("qmy"),
+    )
+    d2 = ((F.col("qmx") - F.col("mx")) * (F.col("qmx") - F.col("mx"))
+          + (F.col("qmy") - F.col("my")) * (F.col("qmy") - F.col("my")))
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(pos, F.col("qi") != F.col("i"))
+        .select(
+            "query_id",
+            F.col("image_id").alias("neighbor_id"),
+            d2.alias("d2"),
+            F.bit_count(F.col("q_phash").bitwiseXOR(F.col("phash")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= KNN_K)
+        .select("query_id", "knn_rank", "neighbor_id", "d2", "hamming")
+        .orderBy("query_id", "knn_rank")
+    )

@@ -332,3 +332,52 @@ def test_geo_phash_dedup_planted_pairs(spark):
         i0 = got[col].str[-12:].astype(np.int64)
         assert ((i0 * GEO_KX) % GEO_M // (GEO_CELL_DEG * 1000) == got["cell_x"]).all()
         assert ((i0 * GEO_KY) % GEO_M // (GEO_CELL_DEG * 1000) == got["cell_y"]).all()
+
+
+def test_footprint_overlap_matches_numpy_bruteforce(spark):
+    from etf_topox_spark.operators.image_queries import (
+        FOOT_PX_U, FOOT_SCALE, N_FOOT,
+    )
+    from etf_topox_spark.sources.images import GEO_KX, GEO_KY, GEO_M
+
+    got = QUERIES["image_footprint_overlap"](spark, SF).toPandas()
+
+    i = np.arange(N_FOOT, dtype=np.int64)
+    w = np.select([i % 3 == 0, i % 3 == 1], [64, 128], 96)
+    h = np.select([i % 3 == 0, i % 3 == 1], [64, 96], 128)
+    x0 = ((i * GEO_KX) % GEO_M) * FOOT_SCALE
+    x1 = x0 + w * FOOT_PX_U
+    y0 = ((i * GEO_KY) % GEO_M) * FOOT_SCALE
+    y1 = y0 + h * FOOT_PX_U
+    iw = np.minimum(x1[:, None], x1[None, :]) - np.maximum(x0[:, None], x0[None, :])
+    ih = np.minimum(y1[:, None], y1[None, :]) - np.maximum(y0[:, None], y0[None, :])
+    a, b = np.where((iw > 0) & (ih > 0) & (i[:, None] < i[None, :]))
+    assert len(got) == len(a)
+    exp = pd.DataFrame({
+        "img_a": [f"img-{v:012d}" for v in a],
+        "img_b": [f"img-{v:012d}" for v in b],
+        "iw": iw[a, b], "ih": ih[a, b], "inter_area": iw[a, b] * ih[a, b],
+    }).sort_values(["img_a", "img_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["img_a", "img_b"]).reset_index(drop=True).astype(exp.dtypes),
+        exp,
+    )
+
+
+def test_geo_knn_retrieval_invariants(spark):
+    from etf_topox_spark.operators.image_queries import KNN_K, KNN_Q_MOD, N_PHASH_IMAGES
+    from etf_topox_spark.sources.images import GEO_KX, GEO_KY, GEO_M
+
+    got = QUERIES["image_geo_knn_retrieval"](spark, SF).toPandas()
+    n_queries = len([i for i in range(N_PHASH_IMAGES) if i % KNN_Q_MOD == 0])
+    assert len(got) == n_queries * KNN_K
+    assert (got["query_id"] != got["neighbor_id"]).all()
+    g = got.sort_values(["query_id", "knn_rank"]).groupby("query_id")
+    assert (g["knn_rank"].apply(lambda s: list(s) == list(range(1, KNN_K + 1)))).all()
+    # d2 nondecreasing within each query, and exactly the K smallest overall
+    assert (g["d2"].apply(lambda s: s.is_monotonic_increasing)).all()
+    qi = got["query_id"].str[-12:].astype(np.int64)
+    ni = got["neighbor_id"].str[-12:].astype(np.int64)
+    dmx = (qi * GEO_KX) % GEO_M - (ni * GEO_KX) % GEO_M
+    dmy = (qi * GEO_KY) % GEO_M - (ni * GEO_KY) % GEO_M
+    assert (got["d2"] == dmx * dmx + dmy * dmy).all()
