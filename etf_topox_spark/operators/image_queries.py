@@ -2560,3 +2560,273 @@ def image_geo_knn_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "knn_rank", "neighbor_id", "d2", "hamming")
         .orderBy("query_id", "knn_rank")
     )
+
+
+# --- acquisition point-coverage join (observations x image footprints) ---------
+
+# Point coordinates in EXACT micro-degrees, replaying sources/points.py
+# _coords with the division deferred: even ids scatter over the window
+# (((i*KX)%M) milli-deg -> *1000), odd ids collapse into the hot blob at
+# (10.3, 10.7) with a ((i*K)%HOT_M) micro-degree spread — the 50% skew
+# fixture. Footprint pixel spans are exact too: 1/1024 deg = 15625/16
+# micro-deg, and every corpus width/height is a multiple of 16.
+N_COV_PTS = 60_000
+COV_CELL_U = 250_000  # 0.25-degree join cells in micro-degrees
+_PX_MICRO_NUM = 15_625
+_PX_MICRO_DEN = 16
+
+_COV_PTS_SQL = f"""
+pts AS (
+  SELECT i AS point_id,
+         CASE WHEN i % 2 = 1 THEN 10300000 + (i * 13619) % 8000
+              ELSE ((i * 13619) % 20000) * 1000 END AS px,
+         CASE WHEN i % 2 = 1 THEN 10700000 + (i * 7387) % 8000
+              ELSE ((i * 7387) % 20000) * 1000 END AS py
+  FROM (SELECT unnest(range({N_COV_PTS})) AS i)
+),
+urect AS (
+  SELECT i,
+         ((i * {GEO_KX}) % {GEO_M}) * 1000 AS x0,
+         ((i * {GEO_KX}) % {GEO_M}) * 1000
+           + (CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END)
+             * {_PX_MICRO_NUM} // {_PX_MICRO_DEN} AS x1,
+         ((i * {GEO_KY}) % {GEO_M}) * 1000 AS y0,
+         ((i * {GEO_KY}) % {GEO_M}) * 1000
+           + (CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END)
+             * {_PX_MICRO_NUM} // {_PX_MICRO_DEN} AS y1
+  FROM (SELECT unnest(range({N_FOOT})) AS i)
+)"""
+
+_COVERAGE_SQL = f"""
+WITH {_COV_PTS_SQL}
+SELECT printf('img-%012d', r.i) AS image_id,
+       COUNT(*) AS n_covered,
+       CAST(SUM(p.point_id) AS BIGINT) AS sum_point_id
+FROM urect r JOIN pts p
+  ON p.px >= r.x0 AND p.px < r.x1 AND p.py >= r.y0 AND p.py < r.y1
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def _coverage_inputs(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    i = F.col("id")
+    px = F.when(i % 2 == 1, 10_300_000 + (i * 13619) % 8000).otherwise(
+        ((i * 13619) % 20000) * 1000
+    )
+    py = F.when(i % 2 == 1, 10_700_000 + (i * 7387) % 8000).otherwise(
+        ((i * 7387) % 20000) * 1000
+    )
+    pts = spark.range(N_COV_PTS).select(
+        i.alias("point_id"), px.alias("px"), py.alias("py")
+    )
+    w = F.when(i % 3 == 0, 64).when(i % 3 == 1, 128).otherwise(96)
+    h = F.when(i % 3 == 0, 64).when(i % 3 == 1, 96).otherwise(128)
+    x0 = ((i * GEO_KX) % GEO_M) * 1000
+    y0 = ((i * GEO_KY) % GEO_M) * 1000
+    rects = spark.range(N_FOOT).select(
+        i.alias("i"),
+        x0.alias("x0"),
+        (x0 + F.floor(w * _PX_MICRO_NUM / _PX_MICRO_DEN)).alias("x1"),
+        y0.alias("y0"),
+        (y0 + F.floor(h * _PX_MICRO_NUM / _PX_MICRO_DEN)).alias("y1"),
+    )
+    return pts, rects
+
+
+@query("image_footprint_point_coverage", oracle=_COVERAGE_SQL)
+def image_footprint_point_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which ground observations does each acquisition cover? Census of
+    observation points inside each image footprint (count + exact id-sum
+    check column) — the 'is this survey point photographed' QA join.
+
+    Scale shape: points land in exactly ONE 0.25-degree cell; footprints
+    (<= 0.125 deg) explode to the <= 4 cells they touch; equi-join on the
+    cell key then exact containment filter; per-image partial counts
+    combine map-side. The 50%-skew hot blob stresses one cell, but the
+    blob only meets footprints anchored in that cell — candidate fan-out
+    stays bounded by cell population, the J14 salting pattern applies
+    above that. Oracle replays the join naively (DuckDB IEJoin)."""
+    pts, rects = _coverage_inputs(spark)
+    c = COV_CELL_U
+    pc = pts.select(
+        "*",
+        F.floor(F.col("px") / c).alias("cx"),
+        F.floor(F.col("py") / c).alias("cy"),
+    )
+    rc = rects.select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("x0") / c), F.floor((F.col("x1") - 1) / c))
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.sequence(F.floor(F.col("y0") / c), F.floor((F.col("y1") - 1) / c))
+        ).alias("cy"),
+    )
+    return (
+        rc.join(pc, ["cx", "cy"])
+        .filter(
+            (F.col("px") >= F.col("x0")) & (F.col("px") < F.col("x1"))
+            & (F.col("py") >= F.col("y0")) & (F.col("py") < F.col("y1"))
+        )
+        .groupBy("i")
+        .agg(
+            F.count("*").alias("n_covered"),
+            F.sum("point_id").alias("sum_point_id"),
+        )
+        .select(
+            F.format_string("img-%012d", "i").alias("image_id"),
+            "n_covered",
+            "sum_point_id",
+        )
+        .orderBy("image_id")
+    )
+
+
+# --- coverage-gap census (which grid cells no acquisition touches) -------------
+
+GAP_CELL_U = 250_000    # 0.25-degree audit cells (80x80 over the window)
+GAP_MACRO = 16          # 4-degree macrocells = 16x16 audit cells
+
+_GAP_SQL = f"""
+WITH {_COV_PTS_SQL},
+grid AS (
+  SELECT gx.g AS gx, gy.g AS gy
+  FROM (SELECT unnest(range(80)) AS g) gx, (SELECT unnest(range(80)) AS g) gy
+),
+covered AS (
+  SELECT DISTINCT cx.c AS gx, cy.c AS gy
+  FROM urect r,
+       LATERAL (SELECT unnest(range(r.x0 // {GAP_CELL_U}, (r.x1 - 1) // {GAP_CELL_U} + 1)) AS c) cx,
+       LATERAL (SELECT unnest(range(r.y0 // {GAP_CELL_U}, (r.y1 - 1) // {GAP_CELL_U} + 1)) AS c) cy
+)
+SELECT g.gx // {GAP_MACRO} AS macro_x, g.gy // {GAP_MACRO} AS macro_y,
+       COUNT(*) AS n_gap_cells
+FROM grid g ANTI JOIN covered c ON g.gx = c.gx AND g.gy = c.gy
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("spatial_coverage_gap_census", oracle=_GAP_SQL)
+def spatial_coverage_gap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tasking-gap analysis: 0.25-degree audit cells touched by NO
+    acquisition footprint, rolled up per 4-degree macrocell — the 'where
+    do we lack imagery' census a collection planner runs first.
+
+    Scale shape: footprints explode map-side to covered audit cells; ONE
+    distinct on (gx, gy) (two ints), then a broadcast-able anti-join
+    against the closed-form audit grid and a partial-combinable rollup.
+    At planetary scale the grid side stays a generated range (never
+    materialized wide) and the distinct is the only exchange."""
+    _, rects = _coverage_inputs(spark)
+    c = GAP_CELL_U
+    covered = (
+        rects.select(
+            F.explode(
+                F.sequence(F.floor(F.col("x0") / c), F.floor((F.col("x1") - 1) / c))
+            ).alias("gx"),
+            "y0",
+            "y1",
+        )
+        .select(
+            "gx",
+            F.explode(
+                F.sequence(F.floor(F.col("y0") / c), F.floor((F.col("y1") - 1) / c))
+            ).alias("gy"),
+        )
+        .distinct()
+    )
+    gx = spark.range(80).select(F.col("id").alias("gx"))
+    gy = spark.range(80).select(F.col("id").alias("gy"))
+    grid = gx.crossJoin(gy)
+    return (
+        grid.join(covered, ["gx", "gy"], "left_anti")
+        .groupBy(
+            (F.col("gx") / GAP_MACRO).cast("long").alias("macro_x"),
+            (F.col("gy") / GAP_MACRO).cast("long").alias("macro_y"),
+        )
+        .agg(F.count("*").alias("n_gap_cells"))
+        .orderBy("macro_x", "macro_y")
+    )
+
+
+# --- brightness-vs-latitude trend (decoded pixels x geolocation) ---------------
+
+_TREND_SQL = f"""
+WITH par AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT unnest(range({N_PHASH_IMAGES})) AS i)
+),
+px AS (SELECT i, w, h, base, unnest(range(w * h)) AS p FROM par),
+bright AS (
+  SELECT i,
+         SUM((  ((base + 3 * (p % w) + 5 * (p // w)) % 256)
+              + ((base * 7 + 11 * (p % w) + 2 * (p // w) + ((p % w) * (p // w)) % 17) % 256)
+              + ((base * 13 + (p % w) // 2 + 7 * (p // w)) % 256)) // 3) AS t
+  FROM px GROUP BY 1
+),
+xy AS (
+  SELECT b.i % 3 AS size_class, (b.i * {GEO_KY}) % {GEO_M} AS lat_milli, b.t
+  FROM bright b
+)
+SELECT size_class, COUNT(*) AS n,
+       CAST(SUM(lat_milli) AS BIGINT) AS sum_x, CAST(SUM(t) AS BIGINT) AS sum_y,
+       CAST(SUM(lat_milli * t) AS BIGINT) AS sum_xy,
+       CAST(SUM(lat_milli * lat_milli) AS BIGINT) AS sum_x2,
+       CAST(COUNT(*) * SUM(lat_milli * t) - SUM(lat_milli) * SUM(t) AS BIGINT) AS slope_num,
+       CAST(COUNT(*) * SUM(lat_milli * lat_milli) - SUM(lat_milli) * SUM(lat_milli) AS BIGINT) AS slope_den
+FROM xy GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("image_brightness_geo_trend", oracle=_TREND_SQL)
+def image_brightness_geo_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does scene brightness trend with latitude? Exact-integer least-
+    squares moments (and the slope's numerator/denominator — no division
+    in the contract) of per-image total gray brightness vs the milli-
+    degree latitude anchor, per size class. The 'sun-angle / sensor-bias
+    drift by geography' screen over REAL decoded pixels.
+
+    Scale shape: brightness reduces inside the Arrow batch (one long per
+    image leaves the scan); the five moment sums are classic map-side
+    partial aggregates — bytes through the exchange: 6 longs per size
+    class per task. Full-funnel oracle: pixel formulas replayed in SQL."""
+    import pandas as pd
+
+    imgs = synthetic_images(spark, N_PHASH_IMAGES)
+
+    def bright(batches):
+        from etf_topox_spark.functions import image_codec as IC
+
+        for pdf in batches:
+            ids = pdf["image_id"].str[-12:].astype("int64")
+            ts = [
+                int((IC.decode(b, f).astype("int64").sum(axis=-1) // 3).sum())
+                for b, f in zip(pdf["bytes"], pdf["fmt"])
+            ]
+            yield pd.DataFrame({"i": ids, "t": ts})
+
+    b = imgs.mapInPandas(bright, "i long, t long")
+    lat = (F.col("i") * GEO_KY) % GEO_M
+    n, sx = F.count("*"), F.sum("lat_milli")
+    sy, sxy, sx2 = F.sum("t"), F.sum(F.col("lat_milli") * F.col("t")), F.sum(
+        F.col("lat_milli") * F.col("lat_milli")
+    )
+    return (
+        b.select((F.col("i") % 3).alias("size_class"), lat.alias("lat_milli"), "t")
+        .groupBy("size_class")
+        .agg(
+            n.alias("n"),
+            sx.alias("sum_x"),
+            sy.alias("sum_y"),
+            sxy.alias("sum_xy"),
+            sx2.alias("sum_x2"),
+            (n * sxy - sx * sy).alias("slope_num"),
+            (n * sx2 - sx * sx).alias("slope_den"),
+        )
+        .orderBy("size_class")
+    )

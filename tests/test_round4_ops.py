@@ -381,3 +381,89 @@ def test_geo_knn_retrieval_invariants(spark):
     dmx = (qi * GEO_KX) % GEO_M - (ni * GEO_KX) % GEO_M
     dmy = (qi * GEO_KY) % GEO_M - (ni * GEO_KY) % GEO_M
     assert (got["d2"] == dmx * dmx + dmy * dmy).all()
+
+
+def _cov_fixture():
+    from etf_topox_spark.operators.image_queries import (
+        FOOT_PX_U, FOOT_SCALE, N_COV_PTS, N_FOOT, _PX_MICRO_DEN, _PX_MICRO_NUM,
+    )
+    from etf_topox_spark.sources.images import GEO_KX, GEO_KY, GEO_M
+
+    i = np.arange(N_COV_PTS, dtype=np.int64)
+    hot = i % 2 == 1
+    px = np.where(hot, 10_300_000 + (i * 13619) % 8000, ((i * 13619) % 20000) * 1000)
+    py = np.where(hot, 10_700_000 + (i * 7387) % 8000, ((i * 7387) % 20000) * 1000)
+    j = np.arange(N_FOOT, dtype=np.int64)
+    w = np.select([j % 3 == 0, j % 3 == 1], [64, 128], 96)
+    h = np.select([j % 3 == 0, j % 3 == 1], [64, 96], 128)
+    x0 = ((j * GEO_KX) % GEO_M) * 1000
+    x1 = x0 + w * _PX_MICRO_NUM // _PX_MICRO_DEN
+    y0 = ((j * GEO_KY) % GEO_M) * 1000
+    y1 = y0 + h * _PX_MICRO_NUM // _PX_MICRO_DEN
+    return i, px, py, j, x0, x1, y0, y1
+
+
+def test_point_coverage_matches_numpy_bruteforce(spark):
+    got = QUERIES["image_footprint_point_coverage"](spark, SF).toPandas()
+    pid, px, py, j, x0, x1, y0, y1 = _cov_fixture()
+    inside = (
+        (px[None, :] >= x0[:, None]) & (px[None, :] < x1[:, None])
+        & (py[None, :] >= y0[:, None]) & (py[None, :] < y1[:, None])
+    )
+    n_cov = inside.sum(axis=1)
+    keep = np.where(n_cov > 0)[0]
+    assert len(got) == len(keep)
+    m = got.set_index("image_id")
+    for k in keep:
+        r = m.loc[f"img-{k:012d}"]
+        assert r["n_covered"] == n_cov[k]
+        assert r["sum_point_id"] == pid[inside[k]].sum()
+
+
+def test_coverage_gap_census_matches_numpy(spark):
+    from etf_topox_spark.operators.image_queries import GAP_CELL_U, GAP_MACRO
+
+    got = QUERIES["spatial_coverage_gap_census"](spark, SF).toPandas()
+    _, _, _, j, x0, x1, y0, y1 = _cov_fixture()
+    covered = np.zeros((80, 80), bool)
+    for a, b_, c, d in zip(x0 // GAP_CELL_U, (x1 - 1) // GAP_CELL_U,
+                           y0 // GAP_CELL_U, (y1 - 1) // GAP_CELL_U):
+        covered[a:b_ + 1, c:d + 1] = True
+    gaps = ~covered
+    m = got.set_index(["macro_x", "macro_y"])["n_gap_cells"]
+    total = 0
+    for mx in range(80 // GAP_MACRO):
+        for my in range(80 // GAP_MACRO):
+            n = gaps[mx * GAP_MACRO:(mx + 1) * GAP_MACRO,
+                     my * GAP_MACRO:(my + 1) * GAP_MACRO].sum()
+            total += n
+            if n:
+                assert m.loc[(mx, my)] == n
+            else:
+                assert (mx, my) not in m.index
+    assert m.sum() == total
+
+
+def test_brightness_geo_trend_matches_numpy(spark):
+    from etf_topox_spark.operators.image_queries import N_PHASH_IMAGES
+    from etf_topox_spark.sources.images import (
+        GEO_KY, GEO_M, image_meta, image_pixels,
+    )
+
+    got = QUERIES["image_brightness_geo_trend"](spark, SF).toPandas()
+    rows = {0: [], 1: [], 2: []}
+    for i in range(N_PHASH_IMAGES):
+        w, h, _, _ = image_meta(i)
+        t = int((image_pixels(i, w, h).astype(np.int64).sum(axis=-1) // 3).sum())
+        rows[i % 3].append(((i * GEO_KY) % GEO_M, t))
+    assert len(got) == 3
+    for sc, pairs in rows.items():
+        x = np.array([p[0] for p in pairs], dtype=object)
+        y = np.array([p[1] for p in pairs], dtype=object)
+        r = got.set_index("size_class").loc[sc]
+        n = len(pairs)
+        assert (r["n"], r["sum_x"], r["sum_y"]) == (n, sum(x), sum(y))
+        assert r["sum_xy"] == sum(a * b for a, b in pairs)
+        assert r["sum_x2"] == sum(a * a for a in x)
+        assert r["slope_num"] == n * r["sum_xy"] - r["sum_x"] * r["sum_y"]
+        assert r["slope_den"] == n * r["sum_x2"] - r["sum_x"] * r["sum_x"]
