@@ -556,3 +556,152 @@ def streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- A+B x streaming: per-geo-cell stateful perceptual dedup -------------------
+
+# The image corpus's metadata (id, phash, geo cell) streams in TWO
+# micro-batches — the base corpus first, the planted duplicate uploads
+# second — so the dedup state built in batch 1 must survive into batch 2
+# for any duplicate to be caught: a REAL cross-batch state exercise, not a
+# single-pass simulation. Keyed by 4-degree geo cell (co-location is the
+# blocking key, exactly like the batch twin image_geo_phash_dedup); state
+# per cell = the first-seen (phash -> seq, id) registry.
+_N_STREAM_IMG = 400   # = operators.image_queries.N_PHASH_IMAGES (shared corpus SQL)
+_N_STREAM_DUP = 50    # = operators.image_queries.N_DUP_IMAGES
+_STREAM_CELL = 4000   # 4-degree cells in milli-degrees
+
+
+def _stage_image_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Two ordered parquet files (base corpus, then duplicate uploads) in a
+    per-(sf,pid) temp dir. Bounded driver materialization: ~450 metadata
+    rows (id, phash, cell) — pixels never leave the executors."""
+    from etf_topox_spark.sources.images import GEO_KX, GEO_KY, GEO_M, synthetic_images
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    d = os.path.join(tempfile.gettempdir(), f"etfx_imgstream_{tag}_{os.getpid()}")
+    if os.path.isdir(d) and len(os.listdir(d)) == 2:
+        return d
+    os.makedirs(d, exist_ok=True)
+    i0 = F.substring("image_id", -12, 12).cast("long")
+    meta = (
+        synthetic_images(spark, _N_STREAM_IMG)
+        .select(
+            "image_id",
+            "phash",
+            i0.alias("i"),
+            (((i0 * GEO_KX) % GEO_M) / _STREAM_CELL).cast("long").alias("cell_x"),
+            (((i0 * GEO_KY) % GEO_M) / _STREAM_CELL).cast("long").alias("cell_y"),
+        )
+        .toPandas()
+        .sort_values("i")
+    )
+    base = meta.assign(seq=meta["i"]).drop(columns=["i"])
+    dups = meta[meta["i"] < _N_STREAM_DUP].copy()
+    dups["seq"] = _N_STREAM_IMG + dups["i"]
+    dups["image_id"] = "dup_" + dups["image_id"]
+    dups = dups.drop(columns=["i"])
+    base.to_parquet(os.path.join(d, "0_base.parquet"), index=False)
+    dups.to_parquet(os.path.join(d, "1_dups.parquet"), index=False)
+    return d
+
+
+# batch twin: a duplicate is any image with an EARLIER (smaller seq) image
+# of identical phash in the same cell; its origin is the first such image.
+# The corpus CTE is shared with the batch geo-dedup query (pixel formulas
+# replayed symbolically), so this oracle re-derives phashes from scratch.
+def _image_stream_dedup_oracle() -> str:
+    from etf_topox_spark.operators.image_queries import _PHASH_CORPUS_SQL
+
+    return f"""
+WITH {_PHASH_CORPUS_SQL},
+stream AS (
+  SELECT image_id, phash,
+         CAST(substr(image_id, length(image_id) - 11, 12) AS BIGINT) AS i0,
+         CASE WHEN image_id LIKE 'dup_%'
+              THEN {_N_STREAM_IMG} + CAST(substr(image_id, length(image_id) - 11, 12) AS BIGINT)
+              ELSE CAST(substr(image_id, length(image_id) - 11, 12) AS BIGINT) END AS seq
+  FROM corpus
+),
+cells AS (
+  SELECT image_id, phash, seq,
+         ((i0 * 9241) % 20000) // {_STREAM_CELL} AS cell_x,
+         ((i0 * 5437) % 20000) // {_STREAM_CELL} AS cell_y
+  FROM stream
+),
+marked AS (
+  SELECT *,
+         MIN(seq) OVER (PARTITION BY cell_x, cell_y, phash) AS first_seq,
+         FIRST_VALUE(image_id) OVER (
+           PARTITION BY cell_x, cell_y, phash ORDER BY seq
+         ) AS orig_id
+  FROM cells
+)
+SELECT image_id AS dup_id, orig_id, cell_x, cell_y
+FROM marked WHERE seq > first_seq
+ORDER BY dup_id
+"""
+
+
+@query("streaming_image_geo_dedup", oracle=_image_stream_dedup_oracle())
+def streaming_image_geo_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming re-upload detection: image metadata events stream in two
+    micro-batches (base corpus, then duplicate uploads); per-geo-cell
+    applyInPandasWithState keeps the first-seen phash registry and emits a
+    (dup, origin) alert the moment a same-cell exact-phash repeat arrives.
+    The planted uploads of batch 2 are only caught because batch 1's state
+    survived the micro-batch boundary (maxFilesPerTrigger=1 forces the
+    split) — the T5 arbitrary-state kernel fused with the A+B geo-blocked
+    dedup shape.
+
+    Scale shape: state per cell is the (phash, seq, id) registry of
+    first-seens — bounded by distinct content per cell, never raw bytes;
+    the stream carries 28 B/row of metadata. Cross-batch determinism:
+    rows are processed in seq order inside each group call, and the file
+    source's lexicographic staging fixes batch order."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    import pandas as pd
+
+    s = (
+        spark.readStream.schema(
+            "image_id string, phash long, cell_x long, cell_y long, seq long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stage_image_stream_dir(spark, sf_dir))
+    )
+
+    def dedup(key, pdfs, state: GroupState):
+        if state.exists:
+            phashes, seqs, ids = state.get
+            reg = {p: (sq, d) for p, sq, d in zip(phashes, seqs, ids)}
+        else:
+            reg = {}
+        out = []
+        for pdf in pdfs:
+            for r in pdf.sort_values("seq").itertuples():
+                hit = reg.get(r.phash)
+                if hit is None:
+                    reg[r.phash] = (r.seq, r.image_id)
+                else:
+                    out.append((r.image_id, hit[1], key[0], key[1]))
+        items = sorted(reg.items(), key=lambda kv: kv[1][0])
+        state.update((
+            [p for p, _ in items],
+            [sq for _, (sq, _) in items],
+            [d for _, (_, d) in items],
+        ))
+        yield pd.DataFrame(
+            out, columns=["dup_id", "orig_id", "cell_x", "cell_y"]
+        )
+
+    alerts = s.groupBy("cell_x", "cell_y").applyInPandasWithState(
+        dedup,
+        outputStructType="dup_id string, orig_id string, cell_x long, cell_y long",
+        stateStructType="phashes array<long>, seqs array<long>, ids array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(
+        alerts, f"imgdedup_replay_{abs(hash(sf_dir)) % 10**6}", "update"
+    )
+    return out.orderBy("dup_id")

@@ -467,3 +467,21 @@ def test_brightness_geo_trend_matches_numpy(spark):
         assert r["sum_x2"] == sum(a * a for a in x)
         assert r["slope_num"] == n * r["sum_xy"] - r["sum_x"] * r["sum_y"]
         assert r["slope_den"] == n * r["sum_x2"] - r["sum_x"] * r["sum_x"]
+
+
+def test_streaming_image_geo_dedup_cross_batch(spark):
+    import os, tempfile
+
+    from etf_topox_spark.streaming.events import (
+        _N_STREAM_DUP, _stage_image_stream_dir,
+    )
+
+    got = QUERIES["streaming_image_geo_dedup"](spark, SF).toPandas()
+    # the staging really is two files -> two micro-batches under
+    # maxFilesPerTrigger=1; every planted batch-2 duplicate is only
+    # catchable if batch 1's per-cell state survived the boundary
+    d = _stage_image_stream_dir(spark, SF)
+    assert sorted(os.listdir(d)) == ["0_base.parquet", "1_dups.parquet"]
+    planted = got[got["dup_id"].str.startswith("dup_")]
+    assert len(planted) == _N_STREAM_DUP
+    assert (planted["orig_id"] == planted["dup_id"].str[4:]).all()
