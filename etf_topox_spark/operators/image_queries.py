@@ -2830,3 +2830,57 @@ def image_brightness_geo_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_class")
     )
+
+
+# --- acquisition revisit cadence per cell --------------------------------------
+
+# seq (the acquisition index) is the deterministic time proxy: per 4-degree
+# cell, how many acquisitions, and the largest gap between successive ones
+# — the revisit-cadence census a tasking planner reads next to the
+# coverage-gap map.
+
+_REVISIT_SQL = f"""
+WITH seqs AS (
+  SELECT i,
+         ((i * {GEO_KX}) % {GEO_M}) // {GEO_CELL_DEG * 1000} AS cell_x,
+         ((i * {GEO_KY}) % {GEO_M}) // {GEO_CELL_DEG * 1000} AS cell_y
+  FROM (SELECT unnest(range({N_FOOT})) AS i)
+),
+gaps AS (
+  SELECT cell_x, cell_y, i,
+         i - lag(i) OVER (PARTITION BY cell_x, cell_y ORDER BY i) AS gap
+  FROM seqs
+)
+SELECT cell_x, cell_y, COUNT(*) AS n_acq,
+       MIN(i) AS first_seq, MAX(i) AS last_seq,
+       CAST(MAX(gap) AS BIGINT) AS max_gap
+FROM gaps GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+@query("spatial_revisit_cadence", oracle=_REVISIT_SQL)
+def spatial_revisit_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell acquisition count and worst revisit gap (successive-seq lag
+    window inside each cell). ONE exchange on the cell key; the lag window
+    and the rollup share the same partitioning, so the window's sort is
+    the only per-cell work — no second shuffle."""
+    from pyspark.sql.window import Window
+
+    i = F.col("id")
+    cells = spark.range(N_FOOT).select(
+        i.alias("i"),
+        F.floor(((i * GEO_KX) % GEO_M) / (GEO_CELL_DEG * 1000)).alias("cell_x"),
+        F.floor(((i * GEO_KY) % GEO_M) / (GEO_CELL_DEG * 1000)).alias("cell_y"),
+    )
+    w = Window.partitionBy("cell_x", "cell_y").orderBy("i")
+    return (
+        cells.withColumn("gap", F.col("i") - F.lag("i").over(w))
+        .groupBy("cell_x", "cell_y")
+        .agg(
+            F.count("*").alias("n_acq"),
+            F.min("i").alias("first_seq"),
+            F.max("i").alias("last_seq"),
+            F.max("gap").alias("max_gap"),
+        )
+        .orderBy("cell_x", "cell_y")
+    )
