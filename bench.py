@@ -180,6 +180,12 @@ def run_suite(cpus: str) -> dict:
     north = ["topology_kernels", "pip_join", "knn_join", "image_tiling"]
     north_rows = sum(units[n] for n in north)
     north_sec = sum(timings[n] for n in north)
+    # Tear the session down BEFORE the caller's post-run health probe: a
+    # resident 32-thread JVM (idle executors, GC, cached blocks) depresses
+    # the probe's mt_gflops by ~2x (measured: in-run env probes 102-141 vs
+    # 256+ at the pre-gates on the same quiet box), which would spuriously
+    # FAIL the default path's post-gate on a genuinely healthy run.
+    spark.stop()
     return {
         "metric": "topology-error detection + spatial-join + tiling throughput",
         "value": round(sum(timings.values()), 3),
