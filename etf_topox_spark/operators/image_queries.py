@@ -2884,3 +2884,63 @@ def spatial_revisit_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell_x", "cell_y")
     )
+
+
+# --- coverage-depth histogram (how many acquisitions stack per cell) -----------
+
+_DEPTH_SQL = f"""
+WITH {_COV_PTS_SQL},
+covered AS (
+  SELECT cx.c AS gx, cy.c AS gy
+  FROM urect r,
+       LATERAL (SELECT unnest(range(r.x0 // {GAP_CELL_U}, (r.x1 - 1) // {GAP_CELL_U} + 1)) AS c) cx,
+       LATERAL (SELECT unnest(range(r.y0 // {GAP_CELL_U}, (r.y1 - 1) // {GAP_CELL_U} + 1)) AS c) cy
+),
+depth AS (
+  SELECT g.gx, g.gy, COUNT(c.gx) AS d
+  FROM (SELECT gx.g AS gx, gy.g AS gy
+        FROM (SELECT unnest(range(80)) AS g) gx, (SELECT unnest(range(80)) AS g) gy) g
+  LEFT JOIN covered c ON g.gx = c.gx AND g.gy = c.gy
+  GROUP BY 1, 2
+)
+SELECT d AS depth, COUNT(*) AS n_cells
+FROM depth GROUP BY 1 ORDER BY 1
+"""
+
+
+@query("spatial_coverage_depth_histogram", oracle=_DEPTH_SQL)
+def spatial_coverage_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redundancy census: how many acquisition footprints touch each
+    0.25-degree audit cell, histogrammed over the whole window (depth 0 =
+    the gap cells; depth >= 2 = stacked revisits a mosaic can blend). Two
+    partial-aggregable rollups on tiny keys — the rect→cell explode never
+    carries more than two ints per row, and the audit grid side stays a
+    generated range."""
+    _, rects = _coverage_inputs(spark)
+    c = GAP_CELL_U
+    per_cell = (
+        rects.select(
+            F.explode(
+                F.sequence(F.floor(F.col("x0") / c), F.floor((F.col("x1") - 1) / c))
+            ).alias("gx"),
+            "y0",
+            "y1",
+        )
+        .select(
+            "gx",
+            F.explode(
+                F.sequence(F.floor(F.col("y0") / c), F.floor((F.col("y1") - 1) / c))
+            ).alias("gy"),
+        )
+        .groupBy("gx", "gy")
+        .agg(F.count("*").alias("d"))
+    )
+    gx = spark.range(80).select(F.col("id").alias("gx"))
+    grid = gx.crossJoin(spark.range(80).select(F.col("id").alias("gy")))
+    return (
+        grid.join(per_cell, ["gx", "gy"], "left")
+        .select(F.coalesce(F.col("d"), F.lit(0)).alias("depth"))
+        .groupBy("depth")
+        .agg(F.count("*").alias("n_cells"))
+        .orderBy("depth")
+    )

@@ -485,3 +485,20 @@ def test_streaming_image_geo_dedup_cross_batch(spark):
     planted = got[got["dup_id"].str.startswith("dup_")]
     assert len(planted) == _N_STREAM_DUP
     assert (planted["orig_id"] == planted["dup_id"].str[4:]).all()
+
+
+def test_coverage_depth_histogram_consistency(spark):
+    hist = QUERIES["spatial_coverage_depth_histogram"](spark, SF).toPandas()
+    gaps = QUERIES["spatial_coverage_gap_census"](spark, SF).toPandas()
+    # depth-0 cells ARE the gap census, and the histogram covers the grid
+    assert hist.set_index("depth").loc[0, "n_cells"] == gaps["n_gap_cells"].sum()
+    assert hist["n_cells"].sum() == 80 * 80
+    # total cell-touches equals the rect->cell explode mass
+    _, _, _, j, x0, x1, y0, y1 = _cov_fixture()
+    from etf_topox_spark.operators.image_queries import GAP_CELL_U
+    # clip to the 80x80 audit grid: window-edge footprints spill past it
+    touches = (
+        (np.minimum((x1 - 1) // GAP_CELL_U, 79) - x0 // GAP_CELL_U + 1)
+        * (np.minimum((y1 - 1) // GAP_CELL_U, 79) - y0 // GAP_CELL_U + 1)
+    ).sum()
+    assert (hist["depth"] * hist["n_cells"]).sum() == touches
