@@ -65,6 +65,9 @@ OPERATOR_MODULES = [
     "raster_flowacc",
     "raster_terrain",
     "raster_viewshed",
+    "raster_sample",
+    "trajectory_stay",
+    "image_enhance",
     "dataset_split",
     "dataset_leakage",
     "image_seam",
