@@ -132,3 +132,126 @@ def trajectory_stay_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("object_id", "start_t")
     )
+
+
+# --- dynamic time warping between revisit track pairs -------------------------
+
+N_DTW_PAIRS = 12
+DTW_L = 64  # fixes per track
+
+
+def _dtw_xy(role: str, t: str) -> tuple[str, str]:
+    """Integer track coordinates for pair p, role a/b at tick {t} — shared
+    spelling, pure integer arithmetic (both engines evaluate identically)."""
+    if role == "a":
+        x = f"((p * 131) + (({t}) * 17) + ((({t}) * ({t})) % 23)) % 400"
+        y = f"((p * 57) + (({t}) * 13) + ((({t}) * ({t}) * ({t})) % 19)) % 400"
+    else:
+        x = f"((p * 131) + (({t}) * 19) + (((({t}) + 3) * ({t})) % 29)) % 400"
+        y = f"((p * 57) + (({t}) * 11) + (((({t}) + 5) * ({t})) % 31)) % 400"
+    return x, y
+
+
+def _dtw_cost(i: str, j: str) -> str:
+    xa, ya = _dtw_xy("a", i)
+    xb, yb = _dtw_xy("b", j)
+    return f"((({xa}) - ({xb})) * (({xa}) - ({xb})) + (({ya}) - ({yb})) * (({ya}) - ({yb})))"
+
+
+def _dtw_sql() -> str:
+    """DTW as a recursive CTE whose state is the DP ROW as a LIST (the
+    image_seam oracle pattern). The textbook recurrence has an in-row
+    left-dependency, so the row step uses the equivalent prefix-min
+    reformulation: a path reaching (i, j) enters row i at some column
+    k <= j (up from (i-1,k) or diagonally from (i-1,k-1)) then moves
+    right, hence
+
+        D[i][j] = prefc(i, j) + min_{k<=j} (e(k) - prefc(i, k-1)),
+        e(k) = min(D[i-1][k], D[i-1][k-1]),  e(0) = D[i-1][0],
+
+    with prefc the row's cost prefix sum — every term a pure list
+    expression."""
+    W = DTW_L
+    pc = (
+        f"list_transform(range({W}), j -> "
+        f"list_sum(list_transform(range(j + 1), k -> {_dtw_cost('i + 1', 'k')})))"
+    )
+    base_pc = (
+        f"list_transform(range({W}), j -> "
+        f"list_sum(list_transform(range(j + 1), k -> {_dtw_cost('0', 'k')})))"
+    )
+    d1 = (
+        f"list_transform(range({W}), j -> pc[j + 1] + "
+        f"list_min(list_transform(range(j + 1), k -> "
+        f"(CASE WHEN k = 0 THEN d[1] ELSE least(d[k + 1], d[k]) END) "
+        f"- (CASE WHEN k = 0 THEN 0 ELSE pc[k] END))))"
+    )
+    return f"""
+WITH RECURSIVE step AS (
+  SELECT p, 0 AS i, {base_pc} AS d
+  FROM (SELECT CAST(range AS BIGINT) AS p FROM range({N_DTW_PAIRS}))
+  UNION ALL
+  SELECT p, i + 1, {d1} AS d
+  FROM (SELECT p, i, d, {pc} AS pc FROM step WHERE i < {DTW_L - 1}) t
+)
+SELECT p AS pair_id, CAST(d[{W}] AS BIGINT) AS dtw_cost
+FROM step WHERE i = {DTW_L - 1} ORDER BY pair_id
+"""
+
+
+@query("trajectory_dtw", oracle=_dtw_sql())
+def trajectory_dtw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic-time-warping distance per revisit track pair — the
+    trajectory-similarity workhorse (fleet conformance, route clustering).
+    Integer squared-euclidean local cost, classic right/up/diag moves.
+
+    Scale shape: the cross-pair layer is embarrassingly parallel (ONE
+    exchange co-partitions each pair's fixes; a pair's track fits a task
+    by construction); the O(L^2) DP runs vectorized per row inside the
+    grouped Arrow kernel — the per-record dynamic-programming shape shared
+    with image_seam_carve. The oracle replays the identical recurrence as
+    a list-state recursive CTE via the prefix-min reformulation
+    (_dtw_sql docstring) — a genuinely different evaluation order, so a
+    single wrong cost term breaks the match."""
+    import numpy as np
+    import pandas as pd
+
+    rows = spark.range(0, N_DTW_PAIRS * 2 * DTW_L, 1,
+                       spark.sparkContext.defaultParallelism).select(
+        F.expr(f"id DIV {2 * DTW_L}").alias("p"),
+        F.expr(f"(id DIV {DTW_L}) % 2").alias("role"),
+        (F.col("id") % DTW_L).alias("t"),
+    )
+    xa, ya = _dtw_xy("a", "t")
+    xb, yb = _dtw_xy("b", "t")
+    tracks = rows.select(
+        "p", "role", "t",
+        F.expr(f"CASE WHEN role = 0 THEN {xa} ELSE {xb} END").alias("x"),
+        F.expr(f"CASE WHEN role = 0 THEN {ya} ELSE {yb} END").alias("y"),
+    )
+
+    def kernel(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["role", "t"])
+        a = pdf[pdf["role"] == 0][["x", "y"]].to_numpy(dtype=np.int64)
+        b = pdf[pdf["role"] == 1][["x", "y"]].to_numpy(dtype=np.int64)
+        if len(a) != DTW_L or len(b) != DTW_L:
+            raise ValueError(f"pair {key}: {len(a)}/{len(b)} fixes")
+        # cost matrix, then the textbook row scan (vectorized over columns
+        # where possible; the in-row chain runs as a short python loop)
+        dx = a[:, None, 0] - b[None, :, 0]
+        dy = a[:, None, 1] - b[None, :, 1]
+        c = dx * dx + dy * dy
+        prev = c[0].cumsum()
+        for i in range(1, DTW_L):
+            cur = np.empty(DTW_L, np.int64)
+            cur[0] = prev[0] + c[i, 0]
+            for j in range(1, DTW_L):
+                cur[j] = c[i, j] + min(prev[j], prev[j - 1], cur[j - 1])
+            prev = cur
+        return pd.DataFrame({"pair_id": [int(key[0])], "dtw_cost": [int(prev[-1])]})
+
+    return (
+        tracks.groupBy("p")
+        .applyInPandas(kernel, "pair_id long, dtw_cost long")
+        .orderBy("pair_id")
+    )

@@ -68,6 +68,8 @@ OPERATOR_MODULES = [
     "raster_sample",
     "trajectory_stay",
     "image_enhance",
+    "image_change",
+    "cell_compact",
     "dataset_split",
     "dataset_leakage",
     "image_seam",
