@@ -70,6 +70,9 @@ OPERATOR_MODULES = [
     "image_enhance",
     "image_change",
     "cell_compact",
+    "image_demosaic",
+    "trajectory_mining",
+    "events_ewma",
     "dataset_split",
     "dataset_leakage",
     "image_seam",
