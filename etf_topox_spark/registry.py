@@ -73,6 +73,9 @@ OPERATOR_MODULES = [
     "image_demosaic",
     "trajectory_mining",
     "events_ewma",
+    "graph_mst",
+    "image_flow",
+    "image_corners",
     "dataset_split",
     "dataset_leakage",
     "image_seam",
