@@ -76,6 +76,7 @@ OPERATOR_MODULES = [
     "graph_mst",
     "image_flow",
     "image_corners",
+    "raster_skeleton",
     "dataset_split",
     "dataset_leakage",
     "image_seam",

@@ -119,3 +119,30 @@ def test_fast_corners_match_numpy_replay(spark):
             r.n_interior, r.n_bright_corners, r.n_dark_corners,
             r.sum_bright_score,
         ]
+
+
+def test_skeletonize_matches_fullraster_replay(spark):
+    """Single-node full-raster numpy replay of the identical subpass rule;
+    also pins the ghost-zone correctness (tiles + halo == whole raster)
+    and skeleton-subset-of-mask."""
+    from etf_topox_spark.operators.raster_skeleton import (
+        BAND,
+        MASK_T,
+        N_ITERS,
+        _dem_mask,
+        _thin_numpy,
+    )
+    from etf_topox_spark.operators.raster_watershed import WS
+
+    out = QUERIES["raster_skeletonize"](spark, SF).toPandas()
+    m0 = _dem_mask(0, 0, WS, WS)
+    m = _thin_numpy(m0.copy(), 2 * N_ITERS)
+    assert ((m == 1) <= (m0 == 1)).all()  # skeleton subset of mask
+    xs = np.arange(WS)
+    for r in out.itertuples(index=False):
+        sl = slice(r.band * BAND, (r.band + 1) * BAND)
+        assert r.n_fg_initial == int(m0[sl].sum())
+        assert r.n_fg_skeleton == int(m[sl].sum())
+        assert r.sum_x == int((m[sl] * xs[None, :]).sum())
+    # thinning genuinely thins: global skeleton mass is a small fraction
+    assert out["n_fg_skeleton"].sum() < out["n_fg_initial"].sum() / 3
