@@ -77,6 +77,7 @@ OPERATOR_MODULES = [
     "image_flow",
     "image_corners",
     "raster_skeleton",
+    "spatial_hexbin",
     "dataset_split",
     "dataset_leakage",
     "image_seam",

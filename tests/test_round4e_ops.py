@@ -146,3 +146,36 @@ def test_skeletonize_matches_fullraster_replay(spark):
         assert r.sum_x == int((m[sl] * xs[None, :]).sum())
     # thinning genuinely thins: global skeleton mass is a small fraction
     assert out["n_fg_skeleton"].sum() < out["n_fg_initial"].sum() / 3
+
+
+def test_hexbin_matches_numpy_replay(spark):
+    from etf_topox_spark.operators.spatial_hexbin import (
+        _CQX,
+        _CQY,
+        _CRY,
+        N_HEX,
+    )
+    from etf_topox_spark.sources.points import _coords
+
+    out = QUERIES["spatial_hexbin"](spark, SF).toPandas()
+    assert out["n_points"].sum() == N_HEX  # every point lands in one hex
+    ids = np.arange(N_HEX, dtype=np.int64)
+    x, y = _coords(ids)
+    fq = x * float(_CQX) + y * float(_CQY)
+    fr = y * float(_CRY)
+    fs = -fq - fr
+    rq, rr, rs = np.round(fq), np.round(fr), np.round(fs)
+    dq, dr, ds = np.abs(rq - fq), np.abs(rr - fr), np.abs(rs - fs)
+    fix_q = (dq > dr) & (dq > ds)
+    fix_r = ~fix_q & (dr > ds)
+    hq = np.where(fix_q, -rr - rs, rq).astype(np.int64)
+    hr = np.where(fix_r, -rq - rs, rr).astype(np.int64)
+    import pandas as pd
+    rep = (
+        pd.DataFrame({"hq": hq, "hr": hr})
+        .groupby(["hq", "hr"]).size().reset_index(name="n")
+    )
+    got = {(r.hex_q, r.hex_r): r.n_points for r in out.itertuples(index=False)}
+    assert len(got) == len(rep)
+    for r in rep.itertuples(index=False):
+        assert got[(r.hq, r.hr)] == r.n
