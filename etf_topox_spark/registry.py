@@ -78,6 +78,7 @@ OPERATOR_MODULES = [
     "image_corners",
     "raster_skeleton",
     "spatial_hexbin",
+    "raster_strahler",
     "dataset_split",
     "dataset_leakage",
     "image_seam",

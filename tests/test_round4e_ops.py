@@ -179,3 +179,60 @@ def test_hexbin_matches_numpy_replay(spark):
     assert len(got) == len(rep)
     for r in rep.itertuples(index=False):
         assert got[(r.hq, r.hr)] == r.n
+
+
+def test_strahler_matches_numpy_replay(spark):
+    """Independent numpy replay: fixed-point iteration over the D8
+    successor map (the oracle's algorithm but a third implementation),
+    plus the convergence claim behind S_ROUNDS — the iteration is a
+    FIXED POINT by round 30 (one more round changes nothing)."""
+    from etf_topox_spark.operators.raster_strahler import S_ROUNDS
+    from etf_topox_spark.operators.raster_watershed import _D8, P, WS
+
+    out = QUERIES["raster_strahler_order"](spark, SF).toPandas()
+
+    x, y = np.arange(WS), np.arange(WS)
+    px = ((x // P) * 7919 + 13) % P
+    py = ((y // P) * 104729 + 7) % P
+    h = np.abs(x % P - px)[None, :] + np.abs(y % P - py)[:, None]
+    best = np.full((WS, WS), -1000, np.int64)
+    pick = (y[:, None] * WS + x[None, :]).copy()
+    for i, (dx, dy) in enumerate(_D8):
+        xx, yy = x[None, :] + dx, y[:, None] + dy
+        inb = (xx >= 0) & (xx < WS) & (yy >= 0) & (yy < WS)
+        hh = np.where(inb, h[np.clip(yy, 0, WS - 1), np.clip(xx, 0, WS - 1)],
+                      10**6)
+        score = np.where(inb, (h - hh) * 8 + (7 - i), -1000)
+        upd = score > best
+        best = np.where(upd, score, best)
+        pick = np.where(upd & (score >= 8),
+                        np.clip(yy, 0, WS - 1) * WS + np.clip(xx, 0, WS - 1),
+                        pick)
+    nxt = pick.ravel()
+    n = WS * WS
+    ords = np.ones(n, np.int64)
+    prev30 = None
+    for it in range(S_ROUNDS):
+        m1 = np.zeros(n, np.int64)
+        m2 = np.zeros(n, np.int64)
+        for v in range(n):
+            p = nxt[v]
+            if p == v:
+                continue
+            o = ords[v]
+            if o > m1[p]:
+                m2[p] = m1[p]
+                m1[p] = o
+            elif o > m2[p]:
+                m2[p] = o
+        new = np.where(m1 == 0, 1, np.maximum(m1, m2 + 1))
+        if it == 29:
+            prev30 = new.copy()
+        ords = new
+    assert prev30 is not None and (ords == prev30).all()  # converged by 30
+    rep = pd.DataFrame({"o": ords, "pid": np.arange(n)}).groupby("o").agg(
+        n_cells=("pid", "size"), sum_pid=("pid", "sum")).reset_index()
+    got = out.sort_values("strahler_order").reset_index(drop=True)
+    assert (got["strahler_order"].to_numpy() == rep["o"].to_numpy()).all()
+    assert (got["n_cells"].to_numpy() == rep["n_cells"].to_numpy()).all()
+    assert (got["sum_pid"].to_numpy() == rep["sum_pid"].to_numpy()).all()
