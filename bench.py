@@ -602,12 +602,30 @@ def main() -> None:
             chosen = r
             break
     if chosen is None:
-        chosen = min(attempts, key=lambda a: a["value"])
-        chosen["health_gate"] = "FAILED-GATE"
+        # Distinguish a QUIET host in a slower era from genuine
+        # contamination (round-4 finding: whole hours run at mt 130-250
+        # GFLOPS with steal ~0% — below the round-2-era 250 floor yet
+        # perfectly quiet; the round-3 "regression" was exactly this).
+        # DEGRADED-HOST-CLEAN numbers are trustworthy relative to each
+        # other within the era but NOT comparable to a PASS-era pool.
+        def _quiet(h: dict) -> bool:
+            return h["steal_pct"] <= gate_steal and h["mt_gflops"] >= 120.0
+
+        quiet = [a for a in attempts if _quiet(a["gate_pre"]) or _quiet(a["env"])]
+        pool = quiet or attempts
+        chosen = min(pool, key=lambda a: a["value"])
+        chosen["health_gate"] = "DEGRADED-HOST-CLEAN" if quiet else "FAILED-GATE"
         chosen["gate_note"] = (
             f"no attempt out of {len(attempts)} passed steal<={gate_steal}% "
-            f"and mt>={gate_mt} GFLOPS; fastest contaminated attempt shown; "
-            f"all probes: "
+            f"and mt>={gate_mt} GFLOPS; "
+            + (
+                "host QUIET (steal ~0) but this era's multi-core ceiling sits "
+                "below the round-2-era floor — fastest quiet attempt shown, "
+                "comparable within this era only; "
+                if quiet
+                else "fastest contaminated attempt shown; "
+            )
+            + "all probes: "
             + json.dumps([{"pre": a["gate_pre"], "post": a["env"]} for a in attempts])
         )
     print(json.dumps(chosen))
