@@ -895,7 +895,53 @@ def image_box_nms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.join(suppressed, "box_id", "left_anti").orderBy("box_id")
 
 
-@query("image_box_nms_greedy")
+def _nms_greedy_sql() -> str:
+    """Greedy NMS as a per-image LIST-state recursive CTE (upgrades this
+    query from rows-only; the trajectory_dtw / raster_strahler oracle
+    family): each image's state is its not-yet-suppressed boxes sorted by
+    (score DESC, box_id); every round pops the head as KEPT and
+    list_filters the survivors by the exact rational IoU test. Images
+    retire from the recursion independently as their lists drain."""
+    h = "remaining[1]"
+
+    def fld(src: str, f: str) -> str:
+        return f"struct_extract({src}, '{f}')"
+
+    inter = (
+        f"(GREATEST(0, LEAST({fld(h, 'x1')}, {fld('b', 'x1')})"
+        f" - GREATEST({fld(h, 'x0')}, {fld('b', 'x0')}))"
+        f" * GREATEST(0, LEAST({fld(h, 'y1')}, {fld('b', 'y1')})"
+        f" - GREATEST({fld(h, 'y0')}, {fld('b', 'y0')})))"
+    )
+    areas = (
+        f"(({fld(h, 'x1')} - {fld(h, 'x0')}) * ({fld(h, 'y1')} - {fld(h, 'y0')})"
+        f" + ({fld('b', 'x1')} - {fld('b', 'x0')}) * ({fld('b', 'y1')} - {fld('b', 'y0')}))"
+    )
+    survive = f"{inter} * {NMS_IOU_DEN} < ({areas} - {inter}) * {NMS_IOU_NUM}"
+    return f"""
+WITH RECURSIVE boxes AS ({_NMS_BOXES_SQL}),
+grouped AS (
+  SELECT image_id,
+         list({{'box_id': box_id, 'x0': x0, 'y0': y0, 'x1': x1, 'y1': y1,
+                'score': score}} ORDER BY score DESC, box_id) AS remaining
+  FROM boxes GROUP BY image_id
+),
+greedy AS (
+  SELECT image_id, remaining, CAST(NULL AS BIGINT) AS kept_id
+  FROM grouped
+  UNION ALL
+  SELECT image_id,
+         list_filter(list_slice(remaining, 2, len(remaining)), b -> {survive}),
+         struct_extract(remaining[1], 'box_id')
+  FROM greedy WHERE len(remaining) > 0
+)
+SELECT b.box_id, b.image_id, b.x0, b.y0, b.x1, b.y1, b.score
+FROM greedy g JOIN boxes b ON b.box_id = g.kept_id
+ORDER BY b.box_id
+"""
+
+
+@query("image_box_nms_greedy", oracle=_nms_greedy_sql())
 def image_box_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classic greedy NMS (the detector-head reference semantics): walk each
     image's boxes by descending score; keep a box iff it overlaps no
@@ -904,8 +950,8 @@ def image_box_nms_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest pins both that containment and a pure-python replay. Sequential
     per image, parallel across images — one Arrow kernel per image group
     (the standard vectorized-suppression loop: each kept box eliminates its
-    whole overlap set in one numpy pass). Rows-only in the driver: greedy
-    order is not SQL-expressible without per-image recursion."""
+    whole overlap set in one numpy pass). Oracled since round 4 by the
+    per-image list-state recursion of _nms_greedy_sql."""
     import numpy as np
     import pandas as pd
 
