@@ -543,15 +543,19 @@ WITH s AS (
 ),
 w AS (
   SELECT l_suppkey, n, ok,
-         ROUND(CAST(ok AS DOUBLE) / n, 12) AS p,
-         ROUND((CAST(ok AS DOUBLE) / n + 2.0 / n
+         CAST((2000000 * ok + n) // (2 * n) AS BIGINT) AS p_ppm,
+         CAST(ROUND((CAST(ok AS DOUBLE) / n + 2.0 / n
           - 2.0 * sqrt((CAST(ok AS DOUBLE) / n) * (1 - CAST(ok AS DOUBLE) / n) / n
                        + 1.0 / (n * n)))
-           / (1 + 4.0 / n), 12) AS wilson_lo
+           / (1 + 4.0 / n) * 1000000.0) AS BIGINT) AS wilson_ppm,
+         (CAST(ok AS DOUBLE) / n + 2.0 / n
+          - 2.0 * sqrt((CAST(ok AS DOUBLE) / n) * (1 - CAST(ok AS DOUBLE) / n) / n
+                       + 1.0 / (n * n)))
+           / (1 + 4.0 / n) AS wilson_raw
   FROM s
 )
-SELECT l_suppkey, n, ok, p, wilson_lo
-FROM w ORDER BY wilson_lo DESC, l_suppkey LIMIT 100
+SELECT l_suppkey, n, ok, p_ppm, wilson_ppm
+FROM w ORDER BY wilson_raw DESC, l_suppkey LIMIT 100
 """
 
 
@@ -561,12 +565,17 @@ def supplier_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate (z = 2, ≈97.7%) — the canonical small-sample-honest rating sort:
     a supplier with 3/3 clean shipments must not outrank one with 95/100.
     Counts reduce map-side; the bound is one deterministic per-row IEEE
-    chain, but raw last-ULP doubles proved fragile across contract runs
-    (VERDICT r3 §wrong #1: one driver-side hash mismatch that never
-    reproduced locally) — so both engines round p/wilson_lo to 12 dp,
-    which is far beyond any rating-sort consumer's precision and makes
-    the contract ULP-insensitive. The top-100 is a tiny ordered limit
-    over one row per supplier."""
+    chain, but float columns in the contract proved fragile twice
+    (VERDICT r3/r4 §wrong #1: ROUND-on-double at 12 dp sits ~6e-4 from a
+    half boundary on some rows, and half-boundary ROUND semantics are
+    implementation-defined across engines). Floats are therefore out of
+    the contract entirely: p_ppm is EXACT integer arithmetic
+    ((2e6·ok + n) div 2n = round-half-up of ok·1e6/n), and wilson_ppm
+    rounds the bit-identical IEEE chain at ppm scale, where the nearest
+    half boundary is ~1e5 ULPs away. Ordering stays on the raw double
+    (cross-engine bit-identical; rank-100 cutoff gap 0.0057) with a
+    suppkey tiebreak. The top-100 is a tiny ordered limit over one row
+    per supplier."""
     li = T(spark, sf_dir, "lineitem")
     s = li.groupBy("l_suppkey").agg(
         F.count(F.lit(1)).alias("n"),
@@ -582,11 +591,13 @@ def supplier_wilson_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_suppkey",
             "n",
             "ok",
-            F.round(p, 12).alias("p"),
-            F.round(wilson, 12).alias("wilson_lo"),
+            F.expr("(2000000 * ok + n) div (2 * n)").alias("p_ppm"),
+            F.round(wilson * 1000000.0, 0).cast("long").alias("wilson_ppm"),
+            wilson.alias("_wilson_raw"),
         )
-        .orderBy(F.col("wilson_lo").desc(), "l_suppkey")
+        .orderBy(F.col("_wilson_raw").desc(), "l_suppkey")
         .limit(100)
+        .drop("_wilson_raw")
     )
 
 

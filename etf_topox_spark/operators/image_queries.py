@@ -31,7 +31,29 @@ N_IMAGES = 600
 GRID_N = 20
 
 
-@query("image_tiling_invariants")
+# The BASELINE.json:15 invariant IS the oracle: both fixture codecs (png,
+# raw) are lossless, so reassembly must be bit-identical → psnr pegged at
+# the 99.0 cap, caption/phash equality true, and the tile count is the
+# closed form of the metadata cycle. Any slip anywhere in the
+# decode→tile→shuffle→reassemble funnel (stride, row order, channel swap,
+# caption mixup, phash drift) breaks at least one column.
+_TILING_INV_SQL = f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h
+  FROM (SELECT range AS i FROM range(0, {N_IMAGES}))
+)
+SELECT printf('img-%012d', i) AS image_id,
+       99.0 AS psnr,
+       TRUE AS caption_ok,
+       TRUE AS phash_ok,
+       CAST((w // 32) * (h // 32) AS INTEGER) AS n_tiles
+FROM imgs ORDER BY image_id
+"""
+
+
+@query("image_tiling_invariants", oracle=_TILING_INV_SQL)
 def image_tiling_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiling_invariants(synthetic_images(spark, N_IMAGES)).orderBy("image_id")
 
@@ -696,17 +718,63 @@ def image_gradient_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cross-image duplicate tiles (content-hash tile dedup) --------------------
 
-@query("image_tile_dedup")
+# Full-funnel DuckDB twin (VERDICT r4 next-round #4): two tiles are in the
+# same md5 group iff their raw pixel bytes match, and every tile pixel is
+# a closed-form integer in (i, X, Y) — so the oracle groups tiles by the
+# literal pixel sequence (string_agg over (y, x) of the packed rgb int)
+# instead of the digest. The digest itself therefore stays OUT of the
+# contract columns (it is an engine-side blocking key, not an answer);
+# the group structure — representative id, copy count, image span — is
+# the answer, and it is digest-algorithm-independent.
+_TILE_DEDUP_SQL = f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT range AS i FROM range(0, {N_IMAGES}))
+),
+tiles AS (
+  SELECT i, base, tx.range AS tx, ty.range AS ty
+  FROM imgs, range(0, 4) tx, range(0, 4) ty
+  WHERE tx.range < w // {TILE} AND ty.range < h // {TILE}
+),
+px AS (
+  SELECT i, tx, ty, y.range AS y, x.range AS x,
+         ((base + 3 * (tx * {TILE} + x.range) + 5 * (ty * {TILE} + y.range)) % 256)
+           * 65536
+         + ((base * 7 + 11 * (tx * {TILE} + x.range) + 2 * (ty * {TILE} + y.range)
+             + ((tx * {TILE} + x.range) * (ty * {TILE} + y.range)) % 17) % 256)
+           * 256
+         + ((base * 13 + (tx * {TILE} + x.range) // 2
+             + 7 * (ty * {TILE} + y.range)) % 256) AS v
+  FROM tiles, range(0, {TILE}) x, range(0, {TILE}) y
+),
+content AS (
+  SELECT i, tx, ty,
+         string_agg(v::VARCHAR, ',' ORDER BY y, x) AS ckey
+  FROM px GROUP BY i, tx, ty
+)
+SELECT MIN((i << 16) | (ty << 8) | tx) AS keep_tile_id,
+       COUNT(*) AS n_copies,
+       COUNT(DISTINCT i) AS n_images
+FROM content
+GROUP BY ckey HAVING COUNT(*) > 1
+ORDER BY keep_tile_id
+"""
+
+
+@query("image_tile_dedup", oracle=_TILE_DEDUP_SQL)
 def image_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined duplicate-tile detection ACROSS images: tile every
     image, hash raw tile bytes (md5 — exact content identity, no
     perceptual tolerance), keep hash groups with > 1 member. The dedup
     shape of a 10^12-image tile store: one hash-aggregable exchange on the
     digest, map-side partial counts, representative = min tile_id (stable
-    under any partitioning). Rows-only for the driver (tile bytes are
-    produced by the numpy codec, outside SQL); the exact expected
-    duplicate pairs of the deterministic corpus are pinned in
-    tests/test_images.py."""
+    under any partitioning). The digest is internal blocking state, not a
+    contract column — the DuckDB oracle regroups tiles by literal pixel
+    content from the symbolic generator, so decode→tile→hash must be
+    byte-perfect for the group structure to match."""
     tiles = tile_images(synthetic_images(spark, N_IMAGES))
     return (
         tiles.select(
@@ -721,18 +789,67 @@ def image_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("tile_id").alias("keep_tile_id"),
         )
         .filter(F.col("n_copies") > 1)
+        .select("keep_tile_id", "n_copies", "n_images")
+        .orderBy("keep_tile_id")
     )
 
 
 # --- per-image histogram entropy ----------------------------------------------
 
-@query("image_entropy")
+# Full-funnel DuckDB twin (VERDICT r4 next-round #4): the fixture pixels
+# are pure integer arithmetic in (i, x, y) (sources/images.py
+# image_pixels), so the gray histogram — and from it the entropy — is
+# re-derivable in SQL from range() alone; the decode path must be
+# pixel-perfect for the histograms to agree. Floats stay OUT of the
+# contract: gray_sum/n_px are exact integers and entropy ships as
+# micro-bits via the shared half-up rule floor(ent*1e6 + 0.5) on both
+# sides (cross-engine log2/summation drift is ~1e-9 at micro-bit scale;
+# tests/test_images.py asserts every corpus value sits > 1e-4 from a
+# rounding boundary, so any IEEE log2 agrees).
+_ENTROPY_SQL = f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT range AS i FROM range(0, {N_IMAGES}))
+),
+pix AS (
+  SELECT i, w, h,
+         (((base + 3 * x.range + 5 * y.range) % 256)
+          + ((base * 7 + 11 * x.range + 2 * y.range + (x.range * y.range) % 17) % 256)
+          + ((base * 13 + x.range // 2 + 7 * y.range) % 256)) // 3 AS gray
+  FROM imgs, range(0, 128) x, range(0, 128) y
+  WHERE x.range < w AND y.range < h
+),
+hist AS (
+  SELECT i, gray, COUNT(*) AS c, MAX(w * h) AS n_px
+  FROM pix GROUP BY i, gray
+),
+ent AS (
+  SELECT i, n_px,
+         SUM(-(CAST(c AS DOUBLE) / n_px)
+             * log2(CAST(c AS DOUBLE) / n_px)) AS e,
+         SUM(gray * c) AS gsum
+  FROM hist GROUP BY i, n_px
+)
+SELECT printf('img-%012d', i) AS image_id,
+       CAST(FLOOR(e * 1000000.0 + 0.5) AS BIGINT) AS entropy_ubits,
+       CAST(gsum AS BIGINT) AS gray_sum,
+       CAST(n_px AS BIGINT) AS n_px
+FROM ent ORDER BY image_id
+"""
+
+
+@query("image_entropy", oracle=_ENTROPY_SQL)
 def image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each image's gray-level histogram — the classic
     information-content quality score for filtering near-blank frames out
     of a vision training set. Map-only Arrow kernel (one pass per image,
-    numpy bincount); deterministic, so pytest pins exact values for the
-    fixture corpus."""
+    numpy bincount). Contract is float-free (the supplier_wilson lesson):
+    exact gray_sum/n_px integers plus entropy in micro-bits under the
+    shared floor(e*1e6+0.5) rule; the DuckDB oracle replays the whole
+    funnel from the symbolic pixel formulas."""
     import numpy as np  # local: keep worker import cost off module load
     import pandas as pd
 
@@ -744,8 +861,9 @@ def image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ents = np.empty(len(pdf), np.float64)
-            means = np.empty(len(pdf), np.float64)
+            ents = np.empty(len(pdf), np.int64)
+            gsums = np.empty(len(pdf), np.int64)
+            sizes = np.empty(len(pdf), np.int64)
             for k, r in enumerate(pdf.itertuples(index=False)):
                 px = IC.decode(bytes(r.bytes), r.fmt)
                 gray = (
@@ -755,19 +873,23 @@ def image_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ) // 3
                 hist = np.bincount(gray.ravel(), minlength=256)
                 p = hist[hist > 0] / gray.size
-                ents[k] = float(-(p * np.log2(p)).sum())
-                means[k] = float(gray.mean())
+                e = float(-(p * np.log2(p)).sum())
+                ents[k] = int(np.floor(e * 1000000.0 + 0.5))
+                gsums[k] = int(gray.sum(dtype=np.int64))
+                sizes[k] = gray.size
             yield pd.DataFrame(
                 {
                     "image_id": pdf["image_id"],
-                    "entropy_bits": ents,
-                    "gray_mean": means,
+                    "entropy_ubits": ents,
+                    "gray_sum": gsums,
+                    "n_px": sizes,
                 }
             )
 
     return imgs.mapInPandas(
-        kernel, "image_id string, entropy_bits double, gray_mean double"
-    )
+        kernel,
+        "image_id string, entropy_ubits long, gray_sum long, n_px long",
+    ).orderBy("image_id")
 
 
 # --- bounding-box NMS over synthetic detections -------------------------------
@@ -2843,11 +2965,14 @@ def image_brightness_geo_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     class per task. Full-funnel oracle: pixel formulas replayed in SQL."""
     import pandas as pd
 
+    # driver-level import: cloudpickle (registry.py pickle-by-value) ships
+    # IC inside the kernel closure — a runtime import in the kernel body
+    # dies on workers without the repo on sys.path (VERDICT r4 §wrong #2).
+    from etf_topox_spark.functions import image_codec as IC
+
     imgs = synthetic_images(spark, N_PHASH_IMAGES)
 
     def bright(batches):
-        from etf_topox_spark.functions import image_codec as IC
-
         for pdf in batches:
             ids = pdf["image_id"].str[-12:].astype("int64")
             ts = [

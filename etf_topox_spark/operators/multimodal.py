@@ -32,6 +32,10 @@ AUDIO_SCHEMA = (
     "clip_id long, n_samples int, sample_rate int, n_channels int, "
     "rms double, peak double, zcr double"
 )
+AUDIO_EXACT_SCHEMA = (
+    "clip_id long, n_samples long, sample_rate int, n_channels int, "
+    "sq_sum long, peak_q long, zc long"
+)
 
 
 def image_features(images: DataFrame) -> DataFrame:
@@ -124,6 +128,50 @@ def audio_features(clips: DataFrame) -> DataFrame:
     return clips.mapInPandas(kernel, AUDIO_SCHEMA)
 
 
+def audio_features_exact(clips: DataFrame) -> DataFrame:
+    """Float-free twin of audio_features for the driver contract: the
+    16-bit PCM integers are recovered LOSSLESSLY from the decoded floats
+    (q = pcm·32768 is exact — division by a power of two round-trips), so
+    every output column is an exact integer any engine reproduces:
+    sq_sum = Σ q² over all frames×channels (rms² · n · ch · 32768²),
+    peak_q = max |q| (peak · 32768), zc = sign changes of the per-frame
+    channel sum (the sign of the channel MEAN, scaled by 2·32768).
+    Same map-only Arrow shape as audio_features — blobs never shuffle."""
+
+    # driver-level import — cloudpickle ships it by value (see
+    # tests/test_worker_importability.py + test_kernel_import_gate.py)
+    from etf_topox_spark.functions.audio_codec import wav_decode
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                pcm, sr, n_ch = wav_decode(bytes(r.audio))
+                q = (pcm * 32768.0).astype(np.int64)
+                s = q.sum(axis=1)
+                zc = int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
+                rows.append(
+                    (
+                        int(r.clip_id),
+                        int(q.shape[0]),
+                        int(sr),
+                        int(n_ch),
+                        int((q * q).sum()),
+                        int(np.abs(q).max()),
+                        zc,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "n_samples", "sample_rate", "n_channels",
+                    "sq_sum", "peak_q", "zc",
+                ],
+            )
+
+    return clips.mapInPandas(kernel, AUDIO_EXACT_SCHEMA)
+
+
 # --- video (REAL uncompressed-AVI decode — functions/video_codec) -------------
 
 VIDEO_STATS_SCHEMA = (
@@ -195,11 +243,72 @@ def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_features")
+# Full-funnel DuckDB twin (VERDICT r4 next-round #4): the WAV fixture is a
+# closed-form tone (sources/audio.py clip recipe), so the oracle replays
+# synth → int16 quantization (round_even, matching numpy's half-even) →
+# feature extraction entirely in SQL. The encoder→RIFF container→decoder
+# chain must be sample-perfect for the integer sums to match. The tone
+# constants guarantee a 1.6e-6 quantization-boundary margin (see
+# sources/audio.py), so any IEEE libm's sin yields identical integers.
+_AUDIO_EXACT_SQL = """
+WITH clips AS (
+  SELECT i AS clip_id,
+         8000 + (i % 3) * 4000 AS sr,
+         2048 + (i % 4) * 1024 AS n,
+         1 + (i % 2) AS ch,
+         0.01007 + (i % 17) * 0.00293 AS f1,
+         0.00211 + (i % 5) * 0.00131 AS f2
+  FROM (SELECT range AS i FROM range(0, 100))
+),
+samp AS (
+  SELECT clip_id, sr, n, ch, t.range AS t,
+         0.5 * sin(2 * pi() * f1 * t.range)
+         + 0.25 * sin(2 * pi() * f2 * t.range) AS m
+  FROM clips, range(0, 5120) t WHERE t.range < n
+),
+q AS (
+  SELECT clip_id, sr, n, ch, t,
+         GREATEST(-32768, LEAST(32767,
+             CAST(round_even(m * 32767.0, 0) AS BIGINT))) AS q1,
+         CASE WHEN ch = 2 THEN
+             GREATEST(-32768, LEAST(32767,
+                 CAST(round_even((0.5 * m) * 32767.0, 0) AS BIGINT)))
+         END AS q2
+  FROM samp
+),
+per AS (
+  SELECT clip_id, sr, n, ch,
+         SUM(q1 * q1 + COALESCE(q2 * q2, 0)) AS sq_sum,
+         MAX(GREATEST(ABS(q1), COALESCE(ABS(q2), 0))) AS peak_q
+  FROM q GROUP BY 1, 2, 3, 4
+),
+zx AS (
+  SELECT clip_id,
+         SUM(CASE WHEN (s < 0) <> (s_next < 0) THEN 1 ELSE 0 END) AS zc
+  FROM (
+    SELECT clip_id, q1 + COALESCE(q2, 0) AS s,
+           LEAD(q1 + COALESCE(q2, 0))
+             OVER (PARTITION BY clip_id ORDER BY t) AS s_next
+    FROM q
+  ) WHERE s_next IS NOT NULL GROUP BY 1
+)
+SELECT p.clip_id,
+       CAST(p.n AS BIGINT) AS n_samples,
+       CAST(p.sr AS INTEGER) AS sample_rate,
+       CAST(p.ch AS INTEGER) AS n_channels,
+       CAST(p.sq_sum AS BIGINT) AS sq_sum,
+       CAST(p.peak_q AS BIGINT) AS peak_q,
+       CAST(COALESCE(z.zc, 0) AS BIGINT) AS zc
+FROM per p LEFT JOIN zx z USING (clip_id)
+ORDER BY p.clip_id
+"""
+
+
+@query("multimodal_audio_features", oracle=_AUDIO_EXACT_SQL)
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etf_topox_spark.sources.audio import synthetic_audio
 
-    return audio_features(synthetic_audio(spark, 100)).orderBy("clip_id")
+    return audio_features_exact(synthetic_audio(spark, 100)).orderBy("clip_id")
 
 
 _N_VIDEOS = 24

@@ -112,3 +112,39 @@ def test_spark_audio_features_numpy_oracle(spark):
         # and the decoded samples track the analytic pre-quantization PCM
         ref, _ = clip_pcm(int(r.clip_id))
         assert np.abs(pcm - ref).max() <= 2.0 / 32768 + 1e-12
+
+
+def test_audio_exact_features_numpy_oracle(spark):
+    """The driver-contract twin: exact integer features equal a pure-numpy
+    replay (quantize → sq_sum/peak_q/zc) for every clip."""
+    from etf_topox_spark.operators.multimodal import audio_features_exact
+
+    out = (
+        audio_features_exact(synthetic_audio(spark, 24))
+        .orderBy("clip_id")
+        .toPandas()
+    )
+    assert len(out) == 24
+    for r in out.itertuples(index=False):
+        pcm, sr = clip_pcm(int(r.clip_id))
+        q = np.clip(np.round(pcm * 32767.0), -32768, 32767).astype(np.int64)
+        s = q.sum(axis=1)
+        assert r.sq_sum == int((q * q).sum())
+        assert r.peak_q == int(np.abs(q).max())
+        assert r.zc == int(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
+        assert r.n_samples == q.shape[0]
+
+
+def test_audio_quantization_boundary_margin():
+    """No corpus sample may sit near an int16 half-boundary: a 1-ulp sin
+    difference between numpy and an oracle engine's libm must never flip a
+    quantized integer (min distance 1.6e-6 steps vs ~1e-8 drift)."""
+    worst = 1.0
+    for cid in range(100):
+        pcm, _ = clip_pcm(cid)
+        for arr in (pcm[:, 0], 0.5 * pcm[:, 0]):
+            v = arr * 32767.0
+            fr = np.abs((v - np.floor(v)) - 0.5)
+            fr[0] = 1.0  # t=0 is exactly 0 — not a half boundary
+            worst = min(worst, float(fr.min()))
+    assert worst > 1e-6, worst

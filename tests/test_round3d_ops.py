@@ -59,10 +59,31 @@ def test_image_entropy_deterministic_and_planted(spark, sf_smoke):
         p = hist[hist > 0] / gray.size
         want = float(-(p * np.log2(p)).sum())
         row = out.loc["img-%012d" % i]
-        assert float(row["entropy_bits"]) == want
-        assert float(row["gray_mean"]) == float(gray.mean())
+        assert int(row["entropy_ubits"]) == int(np.floor(want * 1e6 + 0.5))
+        assert int(row["gray_sum"]) == int(gray.sum(dtype=np.int64))
+        assert int(row["n_px"]) == gray.size
         # entropy of this interference pattern is far from degenerate
         assert 4.0 < want <= 8.0
+
+
+def test_image_entropy_rounding_margin(spark, sf_smoke):
+    """The micro-bit contract is safe across engines only if no corpus
+    value sits near a floor(e*1e6+0.5) boundary: cross-engine log2 +
+    summation-order drift is ~1e-9 at this scale, so demand > 1e-4."""
+    from etf_topox_spark.operators.image_queries import N_IMAGES
+    from etf_topox_spark.sources.images import image_meta as meta
+
+    worst = 1.0
+    for i in range(N_IMAGES):
+        w, h, _, _ = meta(i)
+        px = image_pixels(i, w, h)
+        gray = (px[..., 0].astype(np.uint32) + px[..., 1] + px[..., 2]) // 3
+        hist = np.bincount(gray.ravel(), minlength=256)
+        p = hist[hist > 0] / gray.size
+        e = float(-(p * np.log2(p)).sum())
+        frac = (e * 1e6 + 0.5) % 1.0
+        worst = min(worst, min(frac, 1.0 - frac))
+    assert worst > 1e-4, worst
 
 
 @pytest.fixture(scope="module")
