@@ -1,8 +1,9 @@
 """Pure numpy+zlib image codecs (SURVEY.md §2.B F8; no Pillow in the
-sandbox, per the [env] probe). PNG (color type 2, 8-bit RGB) and a trivial
-raw little-endian format. Both lossless, so the BASELINE.json:15 per-row
-invariant (decoded-pixel allclose / PSNR ≥ 40 dB + caption equality) must
-hold exactly through every tiling round-trip.
+sandbox, per the [env] probe). PNG (color type 2, 8-bit RGB), a trivial
+raw little-endian format (both lossless — the BASELINE.json:15 per-row
+invariant holds exactly through every tiling round-trip), and baseline
+JPEG via functions/jpeg_codec (lossy; quality 98 clears the invariant's
+PSNR ≥ 40 dB bar on the fixture corpus, tests/test_jpeg.py).
 
 Everything operates on uint8 arrays of shape (h, w, 3).
 """
@@ -13,6 +14,13 @@ import struct
 import zlib
 
 import numpy as np
+
+# module-level (NOT function-level) import: image_codec ships to Python
+# workers by cloudpickle value (registry.py), and a runtime import inside
+# encode()/decode() would execute on the worker, where the package is not
+# on sys.path — the depth-1 sibling of the kernel-import bug the AST gate
+# (tests/test_kernel_import_gate.py) bans at depth >= 2.
+from etf_topox_spark.functions import jpeg_codec as _jpeg
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -114,6 +122,11 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return png_encode(img)
     if fmt == "raw":
         return raw_encode(img)
+    if fmt == "jpeg":
+        # pure-numpy baseline JFIF (functions/jpeg_codec) — quality 98
+        # keeps the fixture corpus above the BASELINE.json:15 PSNR≥40dB
+        # lossy invariant (q97 measured 40.8 dB worst; 98 gives margin)
+        return _jpeg.jpeg_encode(img, quality=98)
     raise NotImplementedError(
         f"codec {fmt!r} not available in this sandbox (no image libs); "
         "plumbing supports any fmt whose codec is registered here"
@@ -125,6 +138,8 @@ def decode(data: bytes, fmt: str) -> np.ndarray:
         return png_decode(data)
     if fmt == "raw":
         return raw_decode(data)
+    if fmt == "jpeg":
+        return _jpeg.jpeg_decode(data)
     raise NotImplementedError(f"codec {fmt!r} not available")
 
 

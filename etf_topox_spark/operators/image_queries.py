@@ -3115,3 +3115,85 @@ def spatial_coverage_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFr
         .agg(F.count("*").alias("n_cells"))
         .orderBy("depth")
     )
+
+
+# --- lossy JPEG ingest invariants ---------------------------------------------
+
+N_JPEG_IMAGES = 120
+
+# Like image_tiling_invariants, the invariant IS the oracle: the pure-
+# numpy baseline JFIF codec (functions/jpeg_codec, quality 98) must clear
+# the BASELINE.json:15 lossy gate (PSNR >= 40 dB) and preserve dims on
+# every fixture image; any regression anywhere in DCT/quant/Huffman/
+# container flips a boolean. psnr_db stays OUT of the contract (lossy
+# floats — the supplier_wilson lesson); the exact per-image dB values are
+# pinned by tests/test_jpeg.py instead.
+_JPEG_INV_SQL = f"""
+WITH imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h
+  FROM (SELECT range AS i FROM range(0, {N_JPEG_IMAGES}))
+)
+SELECT printf('img-%012d', i) AS image_id,
+       TRUE AS psnr_ok,
+       TRUE AS dims_ok,
+       TRUE AS marker_ok,
+       TRUE AS phash_stable
+FROM imgs ORDER BY image_id
+"""
+
+
+@query("image_jpeg_invariants", oracle=_JPEG_INV_SQL)
+def image_jpeg_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip every fixture image through the pure-numpy baseline JPEG
+    codec inside a map-only Arrow kernel: encode (q98, 4:4:4) -> decode ->
+    PSNR vs the original pixels >= 40 dB (the lossy payload invariant),
+    shape preserved, SOI/EOI markers present, and the perceptual hash
+    within the dedup threshold (hamming <= 4 vs the original — measured
+    worst-case 1 at q98 corpus-wide, so a lossy-recompressed copy still
+    lands in the same phash dedup bucket). Scale shape: identical to the
+    tiling kernels — blobs live and die inside the batch, four booleans
+    per image leave the scan."""
+    import numpy as np
+    import pandas as pd
+
+    from etf_topox_spark.functions import image_codec as IC
+    from etf_topox_spark.functions import jpeg_codec as JC
+
+    imgs = synthetic_images(spark, N_JPEG_IMAGES)
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                px = IC.decode(bytes(r.bytes), r.fmt)
+                blob = JC.jpeg_encode(px, quality=98)
+                rec = JC.jpeg_decode(blob)
+                ham = bin(
+                    (IC.average_hash(px) ^ IC.average_hash(rec))
+                    & 0xFFFFFFFFFFFFFFFF
+                ).count("1")
+                rows.append(
+                    (
+                        r.image_id,
+                        bool(IC.psnr(px, rec) >= 40.0),
+                        bool(rec.shape == px.shape and rec.dtype == np.uint8),
+                        bool(
+                            blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+                        ),
+                        bool(ham <= 4),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "psnr_ok", "dims_ok", "marker_ok", "phash_stable"
+                ],
+            )
+
+    return imgs.mapInPandas(
+        kernel,
+        "image_id string, psnr_ok boolean, dims_ok boolean, "
+        "marker_ok boolean, phash_stable boolean",
+    ).orderBy("image_id")

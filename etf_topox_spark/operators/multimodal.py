@@ -2,15 +2,17 @@
 binary columns with typed metadata; decode / feature-extract / resize /
 frame-sample as Arrow kernels over mapInPandas.
 
-Image ops are REAL (our numpy codecs decode them). Audio is REAL for
-RIFF/WAVE PCM — the pure-numpy parser in functions/audio_codec decodes the
-synthetic source's genuine WAV blobs. Video is REAL for uncompressed
-24-bit RIFF/AVI — the pure-numpy parser in functions/video_codec walks the
+Image ops are REAL (numpy PNG/raw codecs plus the round-5 pure-numpy
+baseline JPEG in functions/jpeg_codec). Audio is REAL for RIFF/WAVE PCM —
+the pure-numpy parser in functions/audio_codec decodes the synthetic
+source's genuine WAV blobs. Video is REAL for uncompressed 24-bit
+RIFF/AVI — the pure-numpy parser in functions/video_codec walks the
 container and unpacks bottom-up padded DIB frames. The only remaining
-stubs are compressed codecs themselves (MP3/AAC/Opus audio, MJPG/H264
-video): they raise NotImplementedError INSIDE the respective parser where
-the codec belongs — the Spark plumbing above is format-agnostic and fully
-exercised on real bytes.
+stubs are compressed non-JPEG codecs (MP3/AAC/Opus audio, MJPG/H264
+video, progressive/subsampled JPEG profiles): they raise
+NotImplementedError INSIDE the respective parser where the codec belongs —
+the Spark plumbing above is format-agnostic and fully exercised on real
+bytes.
 """
 
 from __future__ import annotations
@@ -55,6 +57,48 @@ def image_features(images: DataFrame) -> DataFrame:
             yield pd.DataFrame({"image_id": pdf["image_id"], "feat": feats})
 
     return images.mapInPandas(kernel, FEAT_SCHEMA)
+
+
+FEAT_EXACT_SCHEMA = (
+    "image_id string, n_px long, sum_r long, sum_g long, sum_b long, "
+    "sq_r long, sq_g long, sq_b long, "
+    "h0 long, h1 long, h2 long, h3 long, h4 long, h5 long, h6 long, h7 long"
+)
+
+
+def image_features_exact(images: DataFrame) -> DataFrame:
+    """Float-free twin of image_features for the driver contract: channel
+    sums + sums of squares (mean/std are quotients of these) and the 8-bin
+    luma histogram as raw counts. The float kernel's bin index
+    floor(mean(r,g,b)/32) equals the pure-integer (r+g+b)//96 on every
+    fixture image (verified corpus-wide: IEEE s/3 can only land ON a bin
+    edge when it is exact), so the whole row is engine-independent
+    integer arithmetic. Same map-only Arrow shape — one 16-int row per
+    image leaves the scan."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                sums = img.sum(axis=(0, 1))
+                sqs = (img * img).sum(axis=(0, 1))
+                s = img.sum(axis=2).ravel()
+                hist = np.bincount(s // 96, minlength=8)
+                rows.append(
+                    (r.image_id, int(s.size), *map(int, sums), *map(int, sqs),
+                     *map(int, hist[:8]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "n_px", "sum_r", "sum_g", "sum_b",
+                    "sq_r", "sq_g", "sq_b",
+                    "h0", "h1", "h2", "h3", "h4", "h5", "h6", "h7",
+                ],
+            )
+
+    return images.mapInPandas(kernel, FEAT_EXACT_SCHEMA)
 
 
 def image_resize(images: DataFrame, out: int = 32) -> DataFrame:
@@ -230,17 +274,130 @@ def video_frame_stats(videos: DataFrame, every: int = 3) -> DataFrame:
 
 # --- driver queries --------------------------------------------------------------
 
-@query("multimodal_image_features")
+# Full-funnel DuckDB twins (VERDICT r4 next-round #4, extended): decode →
+# feature/resize funnels replayed from the symbolic pixel formulas in pure
+# integer arithmetic. The float feature API (image_features/image_resize)
+# stays for users; the CONTRACT is the exact-integer twin.
+_N_MM_IMAGES = 200
+
+_MM_PIX = f"""
+imgs AS (
+  SELECT i,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 96 END AS w,
+         CASE i % 3 WHEN 0 THEN 64 WHEN 1 THEN 96 ELSE 128 END AS h,
+         (i * 2654435761) % 251 AS base
+  FROM (SELECT range AS i FROM range(0, {_N_MM_IMAGES}))
+),
+pix AS (
+  SELECT i, w, h, x.range AS x, y.range AS y,
+         (base + 3 * x.range + 5 * y.range) % 256 AS r,
+         (base * 7 + 11 * x.range + 2 * y.range
+          + (x.range * y.range) % 17) % 256 AS g,
+         (base * 13 + x.range // 2 + 7 * y.range) % 256 AS b
+  FROM imgs, range(0, 128) x, range(0, 128) y
+  WHERE x.range < w AND y.range < h
+)
+"""
+
+_MM_FEAT_SQL = f"""
+WITH {_MM_PIX}
+SELECT printf('img-%012d', i) AS image_id,
+       COUNT(*) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r * r) AS BIGINT) AS sq_r,
+       CAST(SUM(g * g) AS BIGINT) AS sq_g,
+       CAST(SUM(b * b) AS BIGINT) AS sq_b,
+       CAST(SUM(CASE WHEN (r + g + b) // 96 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+       CAST(SUM(CASE WHEN (r + g + b) // 96 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+       CAST(SUM(CASE WHEN (r + g + b) // 96 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+       CAST(SUM(CASE WHEN (r + g + b) // 96 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+       CAST(SUM(CASE WHEN (r + g + b) // 96 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+       CAST(SUM(CASE WHEN (r + g + b) // 96 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+       CAST(SUM(CASE WHEN (r + g + b) // 96 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+       CAST(SUM(CASE WHEN (r + g + b) // 96 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+FROM pix GROUP BY i ORDER BY image_id
+"""
+
+
+@query("multimodal_image_features", oracle=_MM_FEAT_SQL)
 def multimodal_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return image_features(synthetic_images(spark, 200)).orderBy("image_id")
-
-
-@query("multimodal_image_resize")
-def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = image_resize(synthetic_images(spark, 200))
-    return out.select("image_id", "w", "h", "fmt", F.length("bytes").alias("n_bytes")).orderBy(
+    return image_features_exact(synthetic_images(spark, _N_MM_IMAGES)).orderBy(
         "image_id"
     )
+
+
+# resize twin: out pixel = blocksum // (bh*bw) (the float block-mean's
+# uint8 cast truncates, and IEEE s/d can only land ON an integer when
+# exact — verified corpus-wide), so the resized raster and its
+# position-weighted checksums are pure integers.
+_MM_RESIZE_SQL = f"""
+WITH {_MM_PIX},
+blocks AS (
+  SELECT i, y // (h // 32) AS oy, x // (w // 32) AS ox,
+         (h // 32) * (w // 32) AS d,
+         SUM(r) AS sr, SUM(g) AS sg, SUM(b) AS sb
+  FROM pix GROUP BY 1, 2, 3, 4
+),
+small AS (
+  SELECT i, oy, ox, oy * 32 + ox + 1 AS wt,
+         sr // d AS pr, sg // d AS pg, sb // d AS pb
+  FROM blocks
+)
+SELECT printf('img-%012d', i) AS image_id,
+       32 AS w, 32 AS h,
+       CAST(SUM(pr) AS BIGINT) AS sum_r,
+       CAST(SUM(pg) AS BIGINT) AS sum_g,
+       CAST(SUM(pb) AS BIGINT) AS sum_b,
+       CAST(SUM(pr * wt) AS BIGINT) AS chk_r,
+       CAST(SUM(pg * wt) AS BIGINT) AS chk_g,
+       CAST(SUM(pb * wt) AS BIGINT) AS chk_b
+FROM small GROUP BY i ORDER BY image_id
+"""
+
+
+@query("multimodal_image_resize", oracle=_MM_RESIZE_SQL)
+def multimodal_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize → re-encode → DECODE → exact integer census of the resized
+    pixels (position-weighted checksums flip on any stride/flip/channel
+    slip, exactly like the video twin). Running the stats on the decoded
+    re-encoded bytes keeps the codec round-trip of resized buffers inside
+    the verified funnel; the oracle replays block-sum // d from the
+    symbolic generator."""
+    import pandas as pd
+
+    out = image_resize(synthetic_images(spark, _N_MM_IMAGES))
+
+    def stats(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = IC.decode(bytes(r.bytes), r.fmt).astype(np.int64)
+                hh, ww, _ = img.shape
+                wt = (
+                    np.arange(hh, dtype=np.int64)[:, None] * 32
+                    + np.arange(ww, dtype=np.int64)[None, :]
+                    + 1
+                )
+                sums = img.sum(axis=(0, 1))
+                chks = (img * wt[:, :, None]).sum(axis=(0, 1))
+                rows.append(
+                    (r.image_id, ww, hh, *map(int, sums), *map(int, chks))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "w", "h",
+                    "sum_r", "sum_g", "sum_b", "chk_r", "chk_g", "chk_b",
+                ],
+            )
+
+    return out.mapInPandas(
+        stats,
+        "image_id string, w int, h int, sum_r long, sum_g long, sum_b long, "
+        "chk_r long, chk_g long, chk_b long",
+    ).orderBy("image_id")
 
 
 # Full-funnel DuckDB twin (VERDICT r4 next-round #4): the WAV fixture is a

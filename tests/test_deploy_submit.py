@@ -90,3 +90,32 @@ def test_spark_submit_pipeline_and_resume(tmp_path):
     assert s2["stages"]["edges"]["resumed_partitions"] > 0
     assert s2["stages"]["edges"]["written_rows"] == 0
     assert s2["stages"]["errors"]["count"] == s1["stages"]["errors"]["count"]
+
+
+def test_iceberg_smoke_skips_cleanly_without_jar(tmp_path):
+    """deploy/iceberg_smoke.py must be executable documentation: without
+    the Iceberg runtime jar it exits 2 with the spark-submit instructions,
+    never a stack trace (the deploy-only S2 path, SURVEY.md §1.2)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(repo, "deploy", "iceberg_smoke.py"),
+            "--images",
+            "10",
+            "--checkpoint",
+            str(tmp_path / "ck"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={**os.environ, "PYTHONPATH": repo},
+        cwd=str(tmp_path),
+    )
+    assert out.returncode == 2, (out.returncode, out.stderr[-1500:])
+    assert "ICEBERG-SMOKE SKIP" in out.stderr
+    assert "Traceback" not in out.stderr

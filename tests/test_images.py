@@ -54,8 +54,10 @@ def test_psnr_sensitivity():
 
 
 def test_unknown_codec_is_explicit():
+    # jpeg graduated from stub to a real pure-numpy codec in round 5
+    # (functions/jpeg_codec); unknown formats must still raise loudly
     with pytest.raises(NotImplementedError):
-        IC.encode(image_pixels(0, 64, 64), "jpeg")
+        IC.encode(image_pixels(0, 64, 64), "webp")
 
 
 def test_tiling_invariants_spark(spark):

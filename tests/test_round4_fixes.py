@@ -8,8 +8,10 @@
   with the cum window on both engines.
 - agg_approx_distinct: the HLL estimate stays within the 5% contract the
   oracle pins (rel_err gate, VERDICT r3 "What's missing" #4).
-- supplier_wilson_ranking: 12-dp rounding makes the p/wilson_lo columns
-  ULP-insensitive while preserving the ranking contract.
+- supplier_wilson_ranking: round 5 removed floats from the contract
+  entirely (integer ppm columns) after 12-dp rounding still red-lined in
+  the round-4 driver artifact — ROUND-on-double near half boundaries is
+  implementation-defined across engines (VERDICT r4 §wrong #1).
 """
 
 from __future__ import annotations
