@@ -127,3 +127,33 @@ def test_wilson_integer_contract(spark, sf_oracle):
     # wilson lower bound can never exceed p (z=2 shrinkage), sanity band
     assert (pdf["wilson_ppm"] <= pdf["p_ppm"]).all()
     assert (pdf["wilson_ppm"] >= 0).all() and (pdf["p_ppm"] <= 1_000_000).all()
+
+
+def test_wilson_ppm_boundary_margin(spark, sf_oracle):
+    """The ppm contract is engine-safe only if no wilson value sits near a
+    ROUND half-boundary at 1e6 scale: measured min distance 8.8e-5 of a
+    ppm step (~7e5 ULPs of w*1e6) at sf0.01 — pin a 1e-6 floor so fixture
+    regeneration can never silently reintroduce the razor edge that kept
+    this query red in rounds 3-4."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from etf_topox_spark.sources.tables import load_table
+
+    pdf = (
+        load_table(spark, sf_oracle, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("l_returnflag") != "R", 1).otherwise(0)).alias("ok"),
+        )
+        .toPandas()
+    )
+    p = pdf["ok"] / pdf["n"]
+    w = (
+        p + 2.0 / pdf["n"]
+        - 2.0 * np.sqrt(p * (1 - p) / pdf["n"] + 1.0 / (pdf["n"] * pdf["n"]))
+    ) / (1 + 4.0 / pdf["n"])
+    v = w.to_numpy() * 1e6
+    fr = np.abs((v - np.floor(v)) - 0.5)
+    assert fr.min() > 1e-6, fr.min()
