@@ -28,6 +28,11 @@ import struct
 
 import numpy as np
 
+# module-level import (worker-shipping rule, see image_codec): the MJPG
+# path decodes each '00dc' chunk with the pure-numpy baseline JPEG codec
+_MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+from etf_topox_spark.functions import jpeg_codec as _jpeg  # noqa: E402
+
 
 def _dib_pack(frame: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB top-down → bottom-up BGR rows padded to 4 bytes."""
@@ -92,6 +97,48 @@ def avi_encode(frames: np.ndarray, fps: int = 25) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def avi_encode_mjpg(frames: np.ndarray, fps: int = 25, quality: int = 95) -> bytes:
+    """uint8 (n, h, w, 3) RGB frames → Motion-JPEG AVI bytes (each frame a
+    baseline JFIF blob in a '00dc' chunk, fourcc 'MJPG') — the compressed
+    sibling of avi_encode, feasible round 5 because functions/jpeg_codec
+    supplies the intraframe codec."""
+    frames = np.asarray(frames, dtype=np.uint8)
+    n, h, w, _ = frames.shape
+    blobs = [_jpeg.jpeg_encode(frames[i], quality=quality) for i in range(n)]
+    max_size = max(len(b) for b in blobs)
+
+    avih = b"avih" + struct.pack(
+        "<IIIIIIIIIIIIII",
+        56, 1_000_000 // fps, max_size * fps, 0, 0x10,
+        n, 0, 1, max_size, w, h, 0, 0, 0,
+    ) + struct.pack("<I", 0)
+    strh = b"strh" + struct.pack(
+        "<I4s4sIHHIIIIIIIIhhhh",
+        56, b"vids", b"MJPG", 0, 0, 0, 0,
+        1, fps, 0, n, max_size, 0, max_size,
+        0, 0, w, h,
+    )
+    strf = b"strf" + struct.pack(
+        "<IIiiHHIIiiII",
+        40, 40, w, h, 1, 24, _MJPG_FOURCC, max_size, 0, 0, 0, 0,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+
+    movi_body = b"movi"
+    idx_entries = []
+    offset = 4
+    for b in blobs:
+        movi_body += b"00dc" + struct.pack("<I", len(b)) + b + (b"\x00" * (len(b) & 1))
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, offset, len(b)))
+        offset += 8 + len(b) + (len(b) & 1)
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + movi_body
+    idx1 = b"idx1" + struct.pack("<I", 16 * n) + b"".join(idx_entries)
+
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def avi_decode(blob: bytes) -> tuple[np.ndarray, int]:
     """AVI bytes → (uint8 frames (n, h, w, 3) RGB top-down, fps)."""
     if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
@@ -122,13 +169,22 @@ def avi_decode(blob: bytes) -> tuple[np.ndarray, int]:
     walk(blob, 12, len(blob))
     if w is None:
         raise ValueError("AVI missing strf video format chunk")
+    if not frame_chunks:
+        raise ValueError("AVI has no movi frame chunks")
+    if comp == _MJPG_FOURCC:
+        # Motion-JPEG: every frame is an independent baseline JFIF blob —
+        # decode with the pure-numpy codec (round 5; was an honest stub)
+        frames = np.stack([_jpeg.jpeg_decode(bytes(c)) for c in frame_chunks])
+        if frames.shape[1:3] != (h, w):
+            raise ValueError(
+                f"MJPG frame dims {frames.shape[1:3]} != strf dims {(h, w)}"
+            )
+        return frames, round(1_000_000 / micro_per_frame)
     if comp not in (0,) or bits != 24:
         fourcc = struct.pack("<I", comp).decode("latin1") if comp else str(comp)
         raise NotImplementedError(
             f"AVI stream is compressed ({bits}-bit, fourcc {fourcc!r}) — no "
             "video codec in this container; wire a decoder at deploy"
         )
-    if not frame_chunks:
-        raise ValueError("AVI has no movi frame chunks")
     frames = np.stack([_dib_unpack(c, w, h) for c in frame_chunks])
     return frames, round(1_000_000 / micro_per_frame)

@@ -50,7 +50,9 @@ def test_bottom_up_and_bgr_order_matter():
 def test_compressed_stream_raises():
     blob = bytearray(avi_encode(np.zeros((1, 4, 4, 3), np.uint8)))
     i = bytes(blob).find(b"strf")
-    blob[i + 8 + 16 : i + 8 + 20] = b"MJPG"  # biCompression fourcc
+    # MJPG stopped being a stub in round 5 (it decodes via jpeg_codec);
+    # a codec we genuinely lack must still raise inside the parser
+    blob[i + 8 + 16 : i + 8 + 20] = b"H265"  # biCompression fourcc
     with pytest.raises(NotImplementedError, match="compressed"):
         avi_decode(bytes(blob))
 
@@ -109,3 +111,32 @@ def test_spark_video_frame_stats_numpy_oracle(spark):
             assert [r.sum_r, r.sum_g, r.sum_b] == sums.tolist()
             assert [r.chk_r, r.chk_g, r.chk_b] == chks.tolist()
     assert len(out) == expected_rows
+
+
+def test_mjpg_roundtrip_psnr():
+    """Motion-JPEG round trip (round 5): every frame within the 40 dB
+    lossy gate, fps/dims/count preserved through the container."""
+    from etf_topox_spark.functions.image_codec import psnr
+    from etf_topox_spark.functions.video_codec import avi_decode, avi_encode_mjpg
+    from etf_topox_spark.sources.video import video_frames_np
+
+    for vid in (0, 1, 5, 11):
+        fr, fps = video_frames_np(vid)
+        dec, fps2 = avi_decode(avi_encode_mjpg(fr, fps, quality=98))
+        assert fps2 == fps and dec.shape == fr.shape
+        assert min(psnr(fr[k], dec[k]) for k in range(len(fr))) >= 40.0
+
+
+def test_h264_fourcc_still_raises():
+    import struct
+
+    from etf_topox_spark.functions.video_codec import avi_decode, avi_encode
+    from etf_topox_spark.sources.video import video_frames_np
+
+    fr, fps = video_frames_np(0)
+    blob = bytearray(avi_encode(fr, fps))
+    i = blob.index(b"strf")
+    # biCompression sits 16 bytes into BITMAPINFOHEADER (after cb)
+    struct.pack_into("<I", blob, i + 8 + 16, struct.unpack("<I", b"H264")[0])
+    with pytest.raises(NotImplementedError, match="H264"):
+        avi_decode(bytes(blob))
